@@ -1,0 +1,146 @@
+"""Autoregressive decoding: jitted prefill + lax.while_loop decode.
+
+Replaces the reference's HF ``GenerationMixin.generate`` calls
+(``models/unified_llama.py:244-361``). Greedy decoding (the reference's
+default), static shapes, early exit when every sequence hit EOS.
+
+The AVS path needs per-step last-layer hidden states so ``<mask_i>`` token
+embeddings can feed the segmentation head (``unified_llama.py:333-353``).
+Instead of HF's output_hidden_states plumbing, the decode loop writes each
+forward's (B, D) last-layer hidden into a preallocated buffer: hidden[j]
+is the hidden of the forward whose *input* was token j-1 and whose output
+is token j. The hidden that *processed* mask token j (what SegModule
+consumes at train time, ``unified_llama.py:106,231``) is therefore
+hidden[j+1]; ``capture_mask_hidden`` applies that shift.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from crab_tpu.core.config import DecoderConfig
+from crab_tpu.lm.llama import KVCache, llama_apply
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray  # (B, max_new) int32, pad_id after EOS
+    hidden: jnp.ndarray  # (B, max_new, D) last-layer hidden per step
+    num_generated: jnp.ndarray  # (B,) int32 incl. the EOS token
+    prefill_logits: jnp.ndarray  # (B, V) fp32 logits at the last prompt pos
+
+
+class _State(NamedTuple):
+    step: jnp.ndarray  # () int32 — index of the token produced last
+    tok: jnp.ndarray  # (B,) last produced token (input of next forward)
+    pos: jnp.ndarray  # (B,) its position id + 1
+    mask: jnp.ndarray  # (B, S) attendable cache slots
+    cache: KVCache
+    tokens: jnp.ndarray  # (B, max_new)
+    hidden: jnp.ndarray  # (B, max_new, D)
+    finished: jnp.ndarray  # (B,) bool
+
+
+def generate(
+    params,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,  # (B, T, D) left-padded prompt embeddings
+    attention_mask: jnp.ndarray,  # (B, T) 1 = real token
+    position_ids: jnp.ndarray,  # (B, T)
+    max_new_tokens: int,
+    eos_id: int,
+    pad_id: int = 0,
+) -> GenerateResult:
+    B, T, D = inputs_embeds.shape
+    S = T + max_new_tokens
+    dtype = inputs_embeds.dtype
+
+    cache = KVCache.zeros(cfg, B, S, dtype)
+    full_mask = jnp.zeros((B, S), jnp.int32).at[:, :T].set(attention_mask)
+
+    logits, _, cache, _ = llama_apply(
+        params,
+        cfg,
+        inputs_embeds,
+        attention_mask=full_mask,
+        position_ids=position_ids,
+        cache=cache,
+    )
+    last_logits = logits[:, -1]  # (B, V)
+    tok0 = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+
+    tokens0 = jnp.full((B, max_new_tokens), pad_id, jnp.int32).at[:, 0].set(tok0)
+    hidden0 = jnp.zeros((B, max_new_tokens, D), dtype)
+
+    def body(s: _State) -> _State:
+        # the incoming token occupies cache slot cache.length — unmask it
+        mask = jax.lax.dynamic_update_slice(
+            s.mask, jnp.ones((B, 1), jnp.int32), (0, s.cache.length)
+        )
+        embeds = jnp.take(params["embed"], s.tok, axis=0)[:, None, :].astype(dtype)
+        logits, hid, cache, _ = llama_apply(
+            params,
+            cfg,
+            embeds,
+            attention_mask=mask,
+            position_ids=s.pos[:, None],
+            cache=s.cache,
+        )
+        tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        emit = jnp.where(s.finished, pad_id, tok)
+        tokens = jax.lax.dynamic_update_slice(s.tokens, emit[:, None], (0, s.step + 1))
+        # hid[:, -1] is the hidden that processed s.tok (= token s.step) and
+        # produced token s.step + 1 -> store at s.step + 1.
+        hidden = jax.lax.dynamic_update_slice(
+            s.hidden, hid[:, -1][:, None, :], (0, s.step + 1, 0)
+        )
+        return _State(
+            step=s.step + 1,
+            tok=tok,
+            pos=s.pos + 1,
+            mask=mask,
+            cache=cache,
+            tokens=tokens,
+            hidden=hidden,
+            finished=s.finished | (tok == eos_id),
+        )
+
+    init = _State(
+        step=jnp.zeros((), jnp.int32),
+        tok=tok0,
+        pos=position_ids[:, -1] + 1,
+        mask=full_mask,
+        cache=cache,
+        tokens=tokens0,
+        hidden=hidden0,
+        finished=tok0 == eos_id,
+    )
+    final = jax.lax.while_loop(
+        lambda s: (s.step < max_new_tokens - 1) & ~jnp.all(s.finished), body, init
+    )
+
+    num = jnp.sum(final.tokens != pad_id, axis=-1).astype(jnp.int32)
+    return GenerateResult(final.tokens, final.hidden, num, last_logits)
+
+
+def capture_mask_hidden(
+    result: GenerateResult, mask_token_ids: Sequence[int], num_mask_tokens: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather hidden states for the ``<mask_i>`` tokens.
+
+    For a mask token generated at index j, takes hidden[j+1] — the hidden
+    of the forward that processed it (training-consistent; see module
+    docstring). Returns (pred_embeddings (B, K, D), found (B,) bool).
+    """
+    tokens = result.tokens  # (B, N)
+    B, N = tokens.shape
+    is_mask = jnp.zeros_like(tokens, dtype=bool)
+    for mid in mask_token_ids:
+        is_mask = is_mask | (tokens == mid)
+    idx = jnp.argsort(~is_mask, axis=-1, stable=True)[:, :num_mask_tokens]  # (B, K)
+    found = jnp.sum(is_mask, axis=-1) >= num_mask_tokens
+    gather_idx = jnp.minimum(idx + 1, N - 1)
+    pred = jnp.take_along_axis(result.hidden, gather_idx[..., None], axis=1)
+    return pred, found

@@ -1,0 +1,242 @@
+"""LLaMA-2-class decoder as a pure JAX function with MoE-LoRA projections.
+
+Re-designs the reference's HF ``LlamaForCausalLM`` + peft_hyper wrapping
+(``models/unified_llama.py``, ``peft_hyper/tuners/lora.py``) TPU-first:
+
+  - layers stored *stacked* (leading axis = layer) and executed with
+    ``lax.scan`` — one compiled layer body, fast compiles at 7B scale;
+  - GQA-ready attention (covers Qwen2 dims too), RoPE in fp32;
+  - MoE-LoRA deltas fused into each projection;
+  - explicit KV cache pytree for autoregressive decode;
+  - fp32 logits and norms, bf16 matmuls under the dtype Policy.
+
+Sharding intent (applied by runtime/sharding.py): attention/MLP weights
+split on the head/ffn axis over the 'model' mesh axis; activations
+replicated per 'data' shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from crab_tpu.core.config import DecoderConfig, MoELoRAConfig
+from crab_tpu.core.layers import kaiming_uniform, normal_init, rms_norm, rms_norm_init
+from crab_tpu.lm.lora import init_moe_lora, moe_lora_delta
+
+NEG_INF = -1e9  # mask value, matches HF's min-dtype semantics closely enough
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, S_max, n_kv, hd)
+    v: jnp.ndarray  # (L, B, S_max, n_kv, hd)
+    length: jnp.ndarray  # () int32 — filled positions
+
+    @classmethod
+    def zeros(cls, cfg: DecoderConfig, batch: int, max_len: int, dtype):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32)
+        )
+
+
+def _proj_init(key, in_dim, out_dim, lora: Optional[MoELoRAConfig], dtype, num_layers):
+    ks = jax.random.split(key, num_layers)
+    p = {
+        "w": jnp.stack(
+            [kaiming_uniform(k, (in_dim, out_dim), dtype) for k in ks]
+        )
+    }
+    if lora is not None:
+        lks = jax.random.split(jax.random.fold_in(key, 1), num_layers)
+        loras = [init_moe_lora(k, in_dim, out_dim, lora, dtype) for k in lks]
+        p["lora"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *loras)
+    return p
+
+
+def init_llama(key, cfg: DecoderConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    D = cfg.hidden_size
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    L = cfg.num_layers
+    ks = jax.random.split(key, 12)
+    params = {
+        "embed": normal_init(ks[0], (cfg.vocab_size, D), 0.02, dtype),
+        "layers": {
+            "attn_norm": {"scale": jnp.ones((L, D), dtype)},
+            "q": _proj_init(ks[1], D, qd, cfg.lora, dtype, L),
+            "k": _proj_init(ks[2], D, kvd, cfg.lora, dtype, L),
+            "v": _proj_init(ks[3], D, kvd, cfg.lora, dtype, L),
+            "o": _proj_init(ks[4], qd, D, cfg.lora, dtype, L),
+            "mlp_norm": {"scale": jnp.ones((L, D), dtype)},
+            "gate": _proj_init(ks[5], D, cfg.intermediate_size, cfg.lora, dtype, L),
+            "up": _proj_init(ks[6], D, cfg.intermediate_size, cfg.lora, dtype, L),
+            "down": _proj_init(ks[7], cfg.intermediate_size, D, cfg.lora, dtype, L),
+        },
+        "final_norm": rms_norm_init(D, dtype),
+        "lm_head": normal_init(ks[8], (D, cfg.vocab_size), 0.02, dtype),
+    }
+    if cfg.attention_bias:
+        for name, od in (("q", qd), ("k", kvd), ("v", kvd)):
+            params["layers"][name]["b"] = jnp.zeros((L, od), dtype)
+    return params
+
+
+def _proj(p, x, lora_cfg):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    if lora_cfg is not None and "lora" in p:
+        y = y + moe_lora_delta(p["lora"], x, lora_cfg)
+    return y
+
+
+def _rope(pos_ids, head_dim, theta, dtype):
+    """cos/sin tables for the given positions, fp32. pos_ids (B, T)."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = pos_ids[..., None].astype(jnp.float32) * inv_freq  # (B, T, hd/2)
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _apply_rope(q, k, cos, sin):
+    # q (B, T, H, hd); cos/sin (B, T, hd)
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    q2 = qf * cos + _rotate_half(qf) * sin
+    k2 = kf * cos + _rotate_half(kf) * sin
+    return q2.astype(q.dtype), k2.astype(k.dtype)
+
+
+def _attention(q, k, v, mask, num_heads, num_kv_heads):
+    """q (B,T,H,hd); k/v (B,S,Hkv,hd); mask (B,1,T,S) additive."""
+    B, T, H, hd = q.shape
+    if num_kv_heads != H:
+        rep = H // num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
+    logits = logits.astype(jnp.float32) + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, H * hd)
+
+
+def llama_apply(
+    params,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,  # (B, T, D)
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, T_total) 1=keep
+    position_ids: Optional[jnp.ndarray] = None,  # (B, T)
+    cache: Optional[KVCache] = None,
+    collect_routes: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[KVCache], Optional[dict]]:
+    """Returns (logits fp32, last_hidden, new_cache, route_telemetry).
+
+    Without a cache: full causal self-attention over T (prefill/training);
+    attention_mask is (B, T) padding mask. With a cache: T new tokens are
+    appended at cache.length; attention_mask must cover the cache max_len.
+    """
+    B, T, D = inputs_embeds.shape
+    x = inputs_embeds
+
+    if cache is None:
+        S = T
+        offset = jnp.zeros((), jnp.int32)
+    else:
+        S = cache.k.shape[2]
+        offset = cache.length
+
+    if position_ids is None:
+        position_ids = offset[None, None] + jnp.arange(T)[None, :]
+        position_ids = jnp.broadcast_to(position_ids, (B, T))
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, S), jnp.int32)
+
+    # additive mask (B, 1, T, S): padding + causality
+    kv_pos = jnp.arange(S)[None, None, None, :]
+    q_pos = (offset + jnp.arange(T))[None, None, :, None]
+    causal = kv_pos <= q_pos
+    keep = causal & (attention_mask[:, None, None, :] > 0)
+    mask = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
+
+    cos, sin = _rope(position_ids, cfg.head_dim, cfg.rope_theta, x.dtype)
+
+    lora_cfg = cfg.lora
+
+    def layer_fn(carry, layer_params):
+        x, = carry
+        h = rms_norm(layer_params["attn_norm"], x, cfg.rms_norm_eps)
+        out = {}
+        if collect_routes and lora_cfg is not None and "lora" in layer_params["q"]:
+            # mean q-proj router weight per expert (the reference needed a
+            # forked modeling_llama.py for this — SURVEY §5 telemetry)
+            route = jax.nn.softmax(
+                (h @ layer_params["q"]["lora"]["route"].astype(h.dtype)).astype(
+                    jnp.float32
+                ),
+                axis=-1,
+            )
+            out["q_route_mean"] = route.mean(axis=(0, 1))
+        q = _proj(layer_params["q"], h, lora_cfg).reshape(
+            B, T, cfg.num_heads, cfg.head_dim
+        )
+        k = _proj(layer_params["k"], h, lora_cfg).reshape(
+            B, T, cfg.num_kv_heads, cfg.head_dim
+        )
+        v = _proj(layer_params["v"], h, lora_cfg).reshape(
+            B, T, cfg.num_kv_heads, cfg.head_dim
+        )
+        q, k = _apply_rope(q, k, cos, sin)
+
+        if cache is not None:
+            k_cache = jax.lax.dynamic_update_slice(
+                layer_params["_k_cache"], k, (0, offset, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                layer_params["_v_cache"], v, (0, offset, 0, 0)
+            )
+            k_full, v_full = k_cache, v_cache
+        else:
+            k_cache = v_cache = None
+            k_full, v_full = k, v
+
+        attn = _attention(q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads)
+        x = x + _proj(layer_params["o"], attn, lora_cfg)
+
+        h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
+        gate = _proj(layer_params["gate"], h, lora_cfg)
+        up = _proj(layer_params["up"], h, lora_cfg)
+        x = x + _proj(layer_params["down"], jax.nn.silu(gate) * up, lora_cfg)
+
+        if cache is not None:
+            out["k"], out["v"] = k_cache, v_cache
+        return (x,), out
+
+    layer_params = dict(params["layers"])
+    if cache is not None:
+        layer_params["_k_cache"] = cache.k
+        layer_params["_v_cache"] = cache.v
+
+    (x,), ys = jax.lax.scan(layer_fn, (x,), layer_params)
+
+    x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = KVCache(ys["k"], ys["v"], offset + T)
+    telemetry = (
+        {"q_route_mean": ys["q_route_mean"]} if collect_routes and "q_route_mean" in ys else None
+    )
+    return logits, x, new_cache, telemetry

@@ -1,0 +1,67 @@
+"""Interaction-aware MoE-LoRA — the paper's "explicit cooperation" adapter.
+
+Re-designs ``peft_hyper/tuners/lora.py:260-369``: every decoder projection
+W gets a shared down-projection A (in -> r), ``num_experts`` expert
+up-projections B_i (r -> out) and a token-wise softmax router (in -> E):
+
+    y = x W + (alpha/r) * sum_i softmax(route(x))_i * (x A) B_i
+
+TPU-first: experts are stored stacked (E, r, out) so the expert mix is one
+einsum; the router softmax runs in fp32 (parity with lora.py:347). Router
+weights are an optional output — the reference needed a forked LLaMA to log
+them (``models/modeling_llama.py:1140-1252``); here telemetry is a flag.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from crab_tpu.core.config import MoELoRAConfig
+from crab_tpu.core.layers import kaiming_uniform
+
+
+def init_moe_lora(key, in_dim: int, out_dim: int, cfg: MoELoRAConfig, dtype=jnp.float32):
+    k_route, k_a = jax.random.split(key)
+    return {
+        # torch init: kaiming_uniform for route and A, zeros for B
+        # (lora.py:299-307) -> adapters start as identity.
+        "route": kaiming_uniform(k_route, (in_dim, cfg.num_experts), dtype),
+        "A": kaiming_uniform(k_a, (in_dim, cfg.rank), dtype),
+        "B": jnp.zeros((cfg.num_experts, cfg.rank, out_dim), dtype),
+    }
+
+
+def moe_lora_delta(p, x, cfg: MoELoRAConfig, return_route: bool = False):
+    """LoRA delta for input x (..., in_dim); add to the base projection."""
+    route = jax.nn.softmax(
+        (x @ p["route"].astype(x.dtype)).astype(jnp.float32), axis=-1
+    ).astype(x.dtype)  # (..., E)
+    a = x @ p["A"].astype(x.dtype)  # (..., r)
+    expert = jnp.einsum("...r,erd->...ed", a, p["B"].astype(x.dtype))  # (..., E, d)
+    delta = jnp.einsum("...e,...ed->...d", route, expert) * cfg.scaling
+    if return_route:
+        return delta, route
+    return delta
+
+
+def convert_moe_lora(sd, base: str, num_experts: int):
+    """torch peft_hyper names -> param tree.
+
+    base is e.g. 'model.layers.0.self_attn.q_proj' with children
+    ``lora_route``, ``lora_A``, ``lora_B{i}`` (lora.py:287-290).
+    """
+    import numpy as np
+
+    def t(name):
+        v = sd[name]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().float().numpy()
+        return np.asarray(v, np.float32)
+
+    B = np.stack([t(f"{base}.lora_B{i}.weight").T for i in range(num_experts)])
+    return {
+        "route": jnp.asarray(t(f"{base}.lora_route.weight").T),
+        "A": jnp.asarray(t(f"{base}.lora_A.weight").T),
+        "B": jnp.asarray(B),
+    }

@@ -122,7 +122,8 @@ def _fbank_impl(waveforms: jnp.ndarray, cfg: FbankConfig) -> jnp.ndarray:
 
     spectrum = jnp.abs(jnp.fft.rfft(frames, n=padded, axis=-1)) ** 2  # (...,m,257)
     banks = jnp.asarray(_mel_banks_np(cfg))  # (257, num_mel)
-    mel = spectrum @ banks
+    # full-fp32 matmul: the mel projection feeds a log, keep it exact
+    mel = jnp.dot(spectrum, banks, precision=jax.lax.Precision.HIGHEST)
     return jnp.log(jnp.maximum(mel, EPSILON))
 
 

@@ -17,6 +17,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# Parity tests compare fp32 math against torch oracles; JAX's default
+# matmul precision is bf16-class on TPU *and* on this CPU build, which
+# would drown real bugs in rounding noise. Production perf paths opt into
+# bf16 explicitly via the dtype Policy instead.
+jax.config.update("jax_default_matmul_precision", "float32")
+
 import numpy as np
 import pytest
 

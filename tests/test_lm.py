@@ -1,0 +1,207 @@
+"""Decoder parity tests vs HF LlamaForCausalLM (tiny random config)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from crab_tpu.core.config import DecoderConfig, MoELoRAConfig
+from crab_tpu.lm.convert import convert_llama
+from crab_tpu.lm.generate import capture_mask_hidden, generate
+from crab_tpu.lm.llama import llama_apply
+from crab_tpu.lm.lora import init_moe_lora, moe_lora_delta
+
+torch.manual_seed(0)
+
+CFG = DecoderConfig(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=3,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    max_position_embeddings=256,
+    lora=None,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        attn_implementation="eager",
+    )
+    return LlamaForCausalLM(hf_cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def params(hf_model):
+    return convert_llama(hf_model.state_dict(), CFG)
+
+
+def test_forward_parity(hf_model, params):
+    rng = np.random.default_rng(0)
+    B, T = 2, 12
+    embeds = rng.standard_normal((B, T, 64)).astype(np.float32) * 0.1
+    # left padding: first sample has 3 pad positions
+    mask = np.ones((B, T), np.int32)
+    mask[0, :3] = 0
+    pos = np.maximum(np.cumsum(mask, axis=-1) - 1, 0)
+    with torch.no_grad():
+        ref = hf_model(
+            inputs_embeds=torch.from_numpy(embeds),
+            attention_mask=torch.from_numpy(mask),
+            position_ids=torch.from_numpy(pos),
+        ).logits.numpy()
+    logits, _, _, _ = llama_apply(
+        params,
+        CFG,
+        jnp.asarray(embeds),
+        attention_mask=jnp.asarray(mask),
+        position_ids=jnp.asarray(pos),
+    )
+    ours = np.asarray(logits)
+    # compare only non-pad positions
+    np.testing.assert_allclose(ours[0, 3:], ref[0, 3:], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ours[1], ref[1], rtol=1e-4, atol=1e-4)
+
+
+def test_generate_matches_hf(hf_model, params):
+    rng = np.random.default_rng(1)
+    B, T = 2, 10
+    embeds = rng.standard_normal((B, T, 64)).astype(np.float32) * 0.1
+    mask = np.ones((B, T), np.int32)
+    mask[1, :2] = 0
+    pos = np.maximum(np.cumsum(mask, axis=-1) - 1, 0)
+    max_new = 8
+    with torch.no_grad():
+        out = hf_model.generate(
+            inputs_embeds=torch.from_numpy(embeds),
+            attention_mask=torch.from_numpy(mask),
+            max_new_tokens=max_new,
+            do_sample=False,
+            output_hidden_states=True,
+            return_dict_in_generate=True,
+            pad_token_id=0,
+            eos_token_id=-1,  # never stop
+        )
+    ref_tokens = out.sequences.numpy()
+
+    res = generate(
+        params,
+        CFG,
+        jnp.asarray(embeds),
+        jnp.asarray(mask),
+        jnp.asarray(pos),
+        max_new_tokens=max_new,
+        eos_id=10**6,  # never
+        pad_id=0,
+    )
+    ours = np.asarray(res.tokens)
+    assert ours.shape == ref_tokens.shape == (B, max_new)
+    np.testing.assert_array_equal(ours, ref_tokens)
+
+    # hidden alignment: hidden[j] (j>=1) = last-layer hidden of HF decode
+    # step j (the forward that processed token j-1)
+    for j in range(1, max_new):
+        hf_hid = out.hidden_states[j][-1][:, -1].numpy()
+        np.testing.assert_allclose(
+            np.asarray(res.hidden[:, j]), hf_hid, rtol=1e-3, atol=1e-3
+        )
+
+
+def test_generate_eos_early_exit(hf_model, params):
+    rng = np.random.default_rng(2)
+    embeds = rng.standard_normal((1, 6, 64)).astype(np.float32) * 0.1
+    mask = np.ones((1, 6), np.int32)
+    pos = np.cumsum(mask, axis=-1) - 1
+    # First find what greedy produces, then set eos to the 3rd token
+    free = generate(
+        params, CFG, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=6, eos_id=10**6, pad_id=0,
+    )
+    third = int(np.asarray(free.tokens)[0, 2])
+    res = generate(
+        params, CFG, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=6, eos_id=third, pad_id=0,
+    )
+    toks = np.asarray(res.tokens)[0]
+    assert toks[2] == third
+    assert np.all(toks[3:] == 0)  # padded after EOS
+    assert int(res.num_generated[0]) == 3
+
+
+def test_moe_lora_reference_formula():
+    """Oracle: literal torch transcription of peft_hyper Linear.forward
+    (lora.py:338-369)."""
+    cfg = MoELoRAConfig(rank=4, alpha=16, num_experts=3, dropout=0.0)
+    key = jax.random.PRNGKey(0)
+    p = init_moe_lora(key, 16, 24, cfg)
+    # overwrite B with nonzero values for a meaningful test
+    p = dict(p)
+    p["B"] = jax.random.normal(jax.random.PRNGKey(1), p["B"].shape) * 0.1
+
+    x = np.random.default_rng(3).standard_normal((2, 5, 16)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    route_w = torch.from_numpy(np.asarray(p["route"]))
+    A = torch.from_numpy(np.asarray(p["A"]))
+    B = torch.from_numpy(np.asarray(p["B"]))
+    with torch.no_grad():
+        route = torch.softmax((xt @ route_w).to(torch.float32), dim=-1)
+        ref = torch.zeros(2, 5, 24)
+        for i in range(3):
+            ref += route[:, :, i].unsqueeze(-1) * ((xt @ A) @ B[i]) * (16 / 4)
+    ours = moe_lora_delta(p, jnp.asarray(x), cfg)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_lora_zero_init_is_identity(params):
+    """Fresh MoE-LoRA must not change the base model's output."""
+    cfg_lora = DecoderConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=3,
+        num_heads=4, num_kv_heads=2, head_dim=16,
+        lora=MoELoRAConfig(rank=4, alpha=16, num_experts=3),
+    )
+    import copy
+
+    p2 = copy.deepcopy(params)
+    key = jax.random.PRNGKey(7)
+    for i, name in enumerate(["q", "k", "v", "o", "gate", "up", "down"]):
+        in_dim = p2["layers"][name]["w"].shape[1]
+        out_dim = p2["layers"][name]["w"].shape[2]
+        loras = [
+            init_moe_lora(jax.random.fold_in(key, i * 10 + l), in_dim, out_dim, cfg_lora.lora)
+            for l in range(3)
+        ]
+        p2["layers"][name]["lora"] = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *loras
+        )
+    rng = np.random.default_rng(4)
+    embeds = rng.standard_normal((1, 7, 64)).astype(np.float32) * 0.1
+    base, _, _, _ = llama_apply(params, CFG, jnp.asarray(embeds))
+    with_lora, _, _, _ = llama_apply(p2, cfg_lora, jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_lora), rtol=1e-5, atol=1e-5)
+
+
+def test_capture_mask_hidden():
+    from crab_tpu.lm.generate import GenerateResult
+
+    tokens = jnp.asarray([[5, 100, 101, 102, 7, 0]])
+    hidden = jnp.arange(6, dtype=jnp.float32)[None, :, None] * jnp.ones((1, 6, 4))
+    res = GenerateResult(tokens, hidden, jnp.asarray([5]), jnp.zeros((1, 8)))
+    pred, found = capture_mask_hidden(res, [100, 101, 102], 3)
+    assert bool(found[0])
+    # mask tokens at idx 1,2,3 -> hidden 2,3,4
+    np.testing.assert_array_equal(np.asarray(pred[0, :, 0]), [2.0, 3.0, 4.0])
