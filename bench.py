@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""crab_tpu benchmark — end-to-end AVQA-shape inference on one TPU chip.
+
+Measures the BASELINE.md primary metric (AV-UIE clips/sec/chip) on the
+flagship crab-7b configuration in bf16: CLIP over 10 frames + BEATs over
+10x2s audio (fbank on device) + Q-Former projectors + multimodal splice +
+LLaMA-2-7B prefill (~700 tokens) + 64 greedy decode steps.
+
+Weights are random (no checkpoints ship with this environment); compute
+cost is identical to trained weights. Decode length is fixed at 64 so the
+number is stable run-to-run.
+
+vs_baseline: the reference never measured throughput (SURVEY.md §6). The
+denominator is an analytic A100 estimate for the reference stack (HF
+eager + peft MoE-LoRA fp16, decode-bound: ~45 ms/step * 64 + prefill +
+encoders + CPU media plane ≈ 4 s/clip ≈ 0.25 clips/s). Treat it as an
+order-of-magnitude anchor, not a measurement.
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_CLIPS_PER_SEC = 0.25  # analytic estimate, see docstring
+MAX_NEW_TOKENS = 64
+DECODE_DTYPE = "bfloat16"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from crab_tpu.core.config import crab_7b
+    from crab_tpu.fusion.tokens import SpecialTokens
+    from crab_tpu.runtime.engine import InferenceEngine
+    from crab_tpu.runtime.model import init_crab
+    from crab_tpu.tasks import registry
+
+    assert jax.default_backend() in ("tpu", "axon"), (
+        f"bench expects a TPU backend, got {jax.default_backend()}"
+    )
+
+    cfg = crab_7b().replace(compute_dtype=DECODE_DTYPE, param_dtype=DECODE_DTYPE)
+    special = SpecialTokens(base_vocab=32000)
+
+    t0 = time.time()
+    # init directly in bf16 on device (fp32 would not fit in 16 GB HBM),
+    # then int8-quantize the decoder weights: bf16 7B + KV cache + encoders
+    # exceeds the ~15 GiB usable HBM of one v5e chip (measured); int8
+    # weight-only is the single-chip serving configuration.
+    from crab_tpu.core.config import crab_tiny
+    from crab_tpu.lm.quant import init_llama_int8
+    from crab_tpu.encoders.beats import init_beats
+    from crab_tpu.encoders.clip_vit import init_clip_vit
+    from crab_tpu.encoders.projectors import init_projector
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    params = {
+        "vision": init_clip_vit(ks[0], cfg.vision, jnp.bfloat16),
+        "audio": init_beats(ks[1], cfg.audio, jnp.bfloat16),
+        "vl_projector": init_projector(
+            ks[2], cfg.vl_projector, cfg.decoder.hidden_size, jnp.bfloat16
+        ),
+        "al_projector": init_projector(
+            ks[3], cfg.al_projector, cfg.decoder.hidden_size, jnp.bfloat16
+        ),
+        "decoder": init_llama_int8(ks[4], cfg.decoder),
+        "seg": None,  # AVQA path doesn't touch the seg head
+    }
+    params.pop("seg")
+    jax.block_until_ready(params)
+    print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    class BenchTokenizer:
+        def encode(self, text):
+            ids = []
+            for w in text.replace(">", "> ").replace("<", " <").split():
+                ids.append(special.token_to_id.get(w, 7 + (hash(w) % 20000)))
+            return ids
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    engine = InferenceEngine(
+        cfg, params, BenchTokenizer(), special, eos_id=2, pad_id=0
+    )
+
+    # AVQA-shape bench task: same media recipe shapes, fixed 64-step decode
+    bench_task = registry.TaskSpec(
+        "bench-avqa",
+        lambda s: registry.prompts.avqa_instruction(s["question"]),
+        lambda s: s["media"],
+        dict(registry.TASKS["avqa"].feature_lens),
+        max_new_tokens=MAX_NEW_TOKENS,
+    )
+    registry.TASKS["bench-avqa"] = bench_task
+
+    rng = np.random.default_rng(0)
+    sample = {
+        "question": "What is the left instrument of the first sounding instrument?",
+        "media": {
+            "video": rng.integers(0, 255, (10, 224, 224, 3)).astype(np.uint8),
+            "audio": (rng.standard_normal((10, 32000)) * 0.05).astype(np.float32),
+        },
+    }
+
+    t0 = time.time()
+    out = engine.run("bench-avqa", [sample])
+    print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    assert out.tokens.shape == (1, MAX_NEW_TOKENS)
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = engine.run("bench-avqa", [sample])
+    dt = (time.time() - t0) / iters
+    clips_per_sec = 1.0 / dt
+    print(f"# steady-state: {dt*1000:.0f} ms/clip", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "avqa_e2e_clips_per_sec_per_chip",
+                "value": round(clips_per_sec, 4),
+                "unit": f"clips/s (7B int8-weight/bf16-act, 10f video + 10x2s audio, {MAX_NEW_TOKENS} decode steps)",
+                "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Quick-start CLI — the analogue of ``scripts/quick_start.py``.
+
+Runs any of the nine tasks on custom samples described by a JSON file with
+the same schema as the reference's ``data/example.json``. With real
+checkpoints it reproduces the reference pipeline; without (--random-init)
+it exercises the full stack with random weights (useful for smoke tests
+and benchmarking on machines without the model artifacts).
+
+Usage:
+  python -m crab_tpu.cli.quick_start --examples data/example.json \
+      --llama /path/llama-2-7b-chat --clip /path/clip-vit-l --beats b.pt \
+      --delta finetune_weights.bin [--avs-delta avs.bin] --out out/
+  python -m crab_tpu.cli.quick_start --examples ex.json --random-init --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+
+def build_params(args, cfg):
+    import jax
+
+    from crab_tpu.runtime.model import init_crab
+
+    if args.random_init:
+        return init_crab(jax.random.PRNGKey(0), cfg)
+    from crab_tpu.runtime import loading
+
+    params = init_crab(jax.random.PRNGKey(0), cfg)
+    if args.llama:
+        params["decoder"] = loading.load_decoder(args.llama, cfg)
+    if args.clip:
+        params["vision"] = loading.load_clip(args.clip, cfg)
+    if args.beats:
+        params["audio"] = loading.load_beats(args.beats, cfg)
+    if args.delta:
+        params = loading.apply_reference_delta(params, args.delta, cfg)
+    if args.avs_delta:
+        params = loading.apply_reference_delta(params, args.avs_delta, cfg)
+    return params
+
+
+def build_tokenizer(args, special):
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.tokenizer, local_files_only=True)
+        from crab_tpu.fusion.tokens import extend_hf_tokenizer
+
+        extend_hf_tokenizer(tok)
+
+        class HFWrap:
+            def encode(self, text):
+                return tok.convert_tokens_to_ids(tok.tokenize(text))
+
+            def decode(self, ids):
+                return tok.decode(ids, skip_special_tokens=False)
+
+        return HFWrap()
+
+    class Fallback:
+        def encode(self, text):
+            out = []
+            lim = max(special.base_vocab - 10, 10)
+            for w in text.replace(">", "> ").replace("<", " <").split():
+                out.append(special.token_to_id.get(w, 7 + (hash(w) % lim)))
+            return out
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    return Fallback()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--examples", required=True, help="example.json-style file")
+    p.add_argument("--llama", default="", help="HF LLaMA-2 checkpoint dir")
+    p.add_argument("--clip", default="", help="HF CLIP ViT-L dir")
+    p.add_argument("--beats", default="", help="BEATs .pt checkpoint")
+    p.add_argument("--tokenizer", default="", help="HF tokenizer dir")
+    p.add_argument("--delta", default="", help="finetune_weights.bin")
+    p.add_argument("--avs-delta", default="", help="AVS stage-3 delta")
+    p.add_argument("--out", default="quick_start_out")
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--tiny", action="store_true", help="tiny config (smoke test)")
+    p.add_argument("--max-new-tokens", type=int, default=0, help="override")
+    args = p.parse_args(argv)
+
+    from crab_tpu.core.config import crab_7b, crab_tiny
+    from crab_tpu.fusion.tokens import SpecialTokens
+    from crab_tpu.runtime.engine import InferenceEngine
+    from crab_tpu.tasks import metrics as M
+    from crab_tpu.tasks.registry import TASKS
+
+    cfg = crab_tiny() if args.tiny else crab_7b()
+    base_vocab = 400 if args.tiny else 32000
+    special = SpecialTokens(base_vocab=base_vocab)
+    params = build_params(args, cfg)
+    tokenizer = build_tokenizer(args, special)
+    engine = InferenceEngine(cfg, params, tokenizer, special, eos_id=2)
+
+    with open(args.examples) as f:
+        examples = json.load(f)
+    os.makedirs(args.out, exist_ok=True)
+    results_fp = os.path.join(args.out, "results.jsonl")
+
+    with open(results_fp, "w") as rf:
+        for ex in examples:
+            task_name = ex.pop("task")
+            task = TASKS[task_name]
+            out = engine.run(task_name, [ex])
+            record: Dict = {"task": task_name, "predict": out.texts[0]}
+            if task.is_avs and out.masks is not None:
+                mask_logits = out.masks[0]
+                if mask_logits.shape[-1] != 224:  # tiny-config smoke runs
+                    import cv2
+
+                    mask_logits = np.stack(
+                        [
+                            cv2.resize(c, (224, 224), interpolation=cv2.INTER_LINEAR)
+                            for c in mask_logits
+                        ]
+                    )
+                np.save(
+                    os.path.join(args.out, f"{task_name}_mask.npy"), mask_logits
+                )
+                if ex.get("mask_path"):
+                    if task.avss_head:
+                        gt = np.load_avss = None
+                        from crab_tpu.media.masks import load_avss_label_mask
+
+                        gt = load_avss_label_mask(ex["mask_path"])
+                        miou, fsc, cnt, _ = M.calc_color_miou_fscore(
+                            mask_logits[None], gt
+                        )
+                        record.update(M.avss_summarize(miou, fsc, cnt))
+                    else:
+                        from crab_tpu.media.masks import load_binary_mask
+
+                        gt = load_binary_mask(ex["mask_path"])
+                        record["miou"] = M.mask_iou(mask_logits[:1], gt)
+                        record["fscore"] = M.eval_fmeasure(mask_logits[:1], gt)
+            rf.write(json.dumps(record) + "\n")
+            print(f"[{task_name}] {record}")
+    print(f"results -> {results_fp}")
+
+
+if __name__ == "__main__":
+    main()

@@ -154,8 +154,8 @@ def splice_embeds(
     feature_bank: jnp.ndarray,  # (B * bank_stride, D)
 ) -> jnp.ndarray:
     """Device-side assembly -> (B, L, D) input embeddings."""
-    text_emb = jnp.take(embed_table, jnp.asarray(batch.text_ids), axis=0)
+    text_emb = jnp.take(embed_table, jnp.asarray(batch.text_ids), axis=0, mode="clip")
     feat_idx = jnp.asarray(batch.feat_idx)
-    gathered = jnp.take(feature_bank, jnp.maximum(feat_idx, 0), axis=0)
+    gathered = jnp.take(feature_bank, jnp.maximum(feat_idx, 0), axis=0, mode="clip")
     use_feat = (feat_idx >= 0)[..., None]
     return jnp.where(use_feat, gathered.astype(text_emb.dtype), text_emb)

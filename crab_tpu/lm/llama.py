@@ -86,7 +86,10 @@ def init_llama(key, cfg: DecoderConfig, dtype=jnp.float32) -> Dict[str, Any]:
 
 
 def _proj(p, x, lora_cfg):
-    y = x @ p["w"]
+    if "w_q" in p:  # weight-only int8 (lm/quant.py): scale in the epilogue
+        y = jnp.dot(x, p["w_q"].astype(x.dtype)) * p["w_s"].astype(x.dtype)[0]
+    else:
+        y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     if lora_cfg is not None and "lora" in p:

@@ -1,0 +1,267 @@
+"""Batched multimodal inference engine.
+
+The analogue of the reference's per-task ``inference_*`` loops
+(``scripts/quick_start.py``, ``scripts/finetune/inference_hyper_lora.py``)
+re-designed for TPU:
+
+  - one jitted encode+prefill+decode program per (task-shape, seq-bucket);
+  - encoder fan-out, fbank frontend and the generate loop all on device;
+  - AVS path runs generate with hidden capture, then the seg head, in the
+    same program family.
+
+Host responsibilities: media decode (cv2/PIL/wav), tokenization, layout
+building (``fusion.splice``), metric accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Protocol, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crab_tpu.core.config import CrabConfig
+from crab_tpu.fusion.splice import SampleSpec, SpliceBatch, build_splice_batch, splice_embeds
+from crab_tpu.fusion.tokens import SpecialTokens
+from crab_tpu.lm.generate import GenerateResult, capture_mask_hidden, generate
+from crab_tpu.runtime.model import encode_audio, encode_video
+from crab_tpu.seg.seg_module import seg_apply
+from crab_tpu.tasks.registry import TASKS, TaskSpec
+from crab_tpu.tasks import prompts
+
+
+class Tokenizer(Protocol):
+    def encode(self, text: str) -> List[int]: ...
+    def decode(self, ids: Sequence[int]) -> str: ...
+
+
+@dataclass
+class EngineOutput:
+    texts: List[str]
+    tokens: np.ndarray  # (B, max_new)
+    masks: Optional[np.ndarray] = None  # (B, ncls, 224, 224) logits (AVS)
+    mask_found: Optional[np.ndarray] = None  # (B,) bool
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return ((n + step - 1) // step) * step
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        cfg: CrabConfig,
+        params: Dict,
+        tokenizer: Tokenizer,
+        special: SpecialTokens,
+        chat_style: str = "llama",
+        eos_id: int = 2,
+        pad_id: int = 0,
+        seq_bucket: int = 64,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.special = special
+        self.chat = prompts.CHAT_TEMPLATES[chat_style]
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self.seq_bucket = seq_bucket
+        self._dtype = jnp.dtype(cfg.compute_dtype)
+        self._gen_fn = {}
+        self._avs_fn = {}
+
+    # ------------------------------------------------------------------
+    # host side: prompt building
+    # ------------------------------------------------------------------
+
+    def build_sample(self, task: TaskSpec, sample: Dict) -> Tuple[SampleSpec, Dict]:
+        instruction = self.chat(task.instruction(sample))
+        ids = np.asarray(self.tokenizer.encode(instruction), np.int64)
+        media = task.media(sample) if "media" not in sample else sample["media"]
+        media = self._fit_media(media)
+        # token budget derived from the actual media + config (the registry
+        # feature_lens document the production values)
+        lens = {}
+        if "audio" in media:
+            lens["<audio>"] = (
+                media["audio"].shape[0] * self.cfg.al_projector.num_query_tokens
+            )
+        for key in ("video", "image"):
+            if key in media:
+                lens[f"<{key}>"] = (
+                    media[key].shape[0] * self.cfg.vl_projector.num_query_tokens
+                )
+        return SampleSpec(ids, lens, None, task.name), media
+
+    def _fit_media(self, media: Dict) -> Dict:
+        """Resize frames to the configured ViT input size if needed."""
+        size = self.cfg.vision.image_size
+        out = dict(media)
+        for key in ("video", "image"):
+            if key in out and out[key].shape[1] != size:
+                import cv2
+
+                frames = out[key]
+                out[key] = np.stack(
+                    [
+                        cv2.resize(f, (size, size), interpolation=cv2.INTER_LINEAR)
+                        for f in frames
+                    ]
+                ).astype(np.uint8)
+        return out
+
+    # ------------------------------------------------------------------
+    # device programs (jitted per shape bucket)
+    # ------------------------------------------------------------------
+
+    def _encode_bank(self, params, media: Dict[str, jnp.ndarray], want_seg):
+        """Build the per-sample feature bank in splice order
+        (audio, video, image)."""
+        cfg = self.cfg
+        parts = []
+        seg_taps = None
+        if "audio" in media:
+            parts.append(encode_audio(params, cfg, media["audio"]))
+        if "video" in media:
+            tok, seg_taps = encode_video(params, cfg, media["video"], want_seg)
+            parts.append(tok)
+        if "image" in media:
+            tok, seg_taps = encode_video(params, cfg, media["image"], want_seg)
+            parts.append(tok)
+        bank = jnp.concatenate(parts, axis=1)  # (B, stride, D)
+        B, stride, D = bank.shape
+        return bank.reshape(B * stride, D), seg_taps
+
+    # The pipeline is three separately-jitted programs (encode -> generate
+    # -> seg) rather than one: a single fused executable would hold encoder
+    # params + 7B decoder + KV cache in one buffer arena and blow the HBM
+    # budget on a 16 GB chip; split programs also pipeline across requests.
+
+    def _make_encode(self, avs: bool):
+        def encode(params, media):
+            return self._encode_bank(params, media, avs)
+
+        return jax.jit(encode)
+
+    def _make_generate(self):
+        cfg = self.cfg
+
+        def gen(decoder_params, bank, text_ids, feat_idx, attn, pos, max_new):
+            emb = splice_from_arrays(
+                decoder_params["embed"], text_ids, feat_idx, bank
+            ).astype(self._dtype)
+            return generate(
+                decoder_params,
+                cfg.decoder,
+                emb,
+                attn,
+                pos,
+                max_new_tokens=max_new,
+                eos_id=self.eos_id,
+                pad_id=self.pad_id,
+            )
+
+        return jax.jit(gen, static_argnames=("max_new",))
+
+    def _make_seg(self, task_head: str):
+        cfg = self.cfg
+
+        def seg(seg_params, tokens, hidden, seg_taps):
+            res = GenerateResult(tokens, hidden, None, None)
+            pred, found = capture_mask_hidden(
+                res, self.special.mask_token_ids, cfg.seg.num_mask_tokens
+            )
+            masks = seg_apply(
+                seg_params, pred.astype(jnp.float32), seg_taps, cfg.seg, task=task_head
+            )
+            return masks, found
+
+        return jax.jit(seg)
+
+    def _program_for(self, media_keys, avs, task_head):
+        key = (media_keys, avs, task_head)
+        if key not in self._gen_fn:
+            self._gen_fn[key] = (
+                self._make_encode(avs),
+                self._make_generate(),
+                self._make_seg(task_head) if avs else None,
+            )
+        return self._gen_fn[key]
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def run(self, task_name: str, samples: List[Dict]) -> EngineOutput:
+        """Run one batch of same-task samples end to end."""
+        task = TASKS[task_name]
+        specs, medias = [], []
+        for s in samples:
+            spec, media = self.build_sample(task, s)
+            specs.append(spec)
+            medias.append(media)
+
+        batch = build_splice_batch(
+            specs,
+            self.special,
+            pad_to=self._pad_len(specs, task),
+            pad_id=self.pad_id,
+        )
+        media_batch = {
+            k: jnp.asarray(np.stack([m[k] for m in medias]))
+            for k in medias[0]
+            if k != "mask"
+        }
+        media_keys = tuple(sorted(media_batch.keys()))
+        head = "avss" if task.avss_head else "binary"
+        encode_fn, gen_fn, seg_fn = self._program_for(media_keys, task.is_avs, head)
+        bank, seg_taps = encode_fn(self.params, media_batch)
+        res = gen_fn(
+            self.params["decoder"],
+            bank,
+            jnp.asarray(batch.text_ids),
+            jnp.asarray(batch.feat_idx),
+            jnp.asarray(batch.attention_mask),
+            jnp.asarray(batch.position_ids),
+            task.max_new_tokens,
+        )
+        masks = found = None
+        if task.is_avs and seg_fn is not None:
+            masks, found = seg_fn(self.params["seg"], res.tokens, res.hidden, seg_taps)
+        tokens = np.asarray(res.tokens)
+        texts = [self._decode(row) for row in tokens]
+        return EngineOutput(
+            texts=texts,
+            tokens=tokens,
+            masks=np.asarray(masks) if masks is not None else None,
+            mask_found=np.asarray(found) if found is not None else None,
+        )
+
+    def _pad_len(self, specs: List[SampleSpec], task: TaskSpec) -> int:
+        longest = 0
+        for s in specs:
+            n = len(s.input_ids) + sum(s.feature_lens.values()) - len(s.feature_lens)
+            longest = max(longest, n)
+        return _bucket(longest, self.seq_bucket)
+
+    def _decode(self, row: np.ndarray) -> str:
+        ids = [int(t) for t in row if t != self.pad_id]
+        if self.eos_id in ids:
+            ids = ids[: ids.index(self.eos_id)]
+        return self.tokenizer.decode(ids)
+
+
+def splice_from_arrays(embed_table, text_ids, feat_idx, feature_bank):
+    """Array-arg version of fusion.splice.splice_embeds (jit-friendly).
+
+    mode='clip': jnp.take's default fills out-of-bounds with NaN, which
+    would silently poison the whole forward on a bad token id.
+    """
+    text_emb = jnp.take(embed_table, text_ids, axis=0, mode="clip")
+    gathered = jnp.take(feature_bank, jnp.maximum(feat_idx, 0), axis=0, mode="clip")
+    use_feat = (feat_idx >= 0)[..., None]
+    return jnp.where(use_feat, gathered.astype(text_emb.dtype), text_emb)

@@ -1,0 +1,99 @@
+"""Parameter sharding rules over the ('data', 'model') mesh.
+
+Replaces the reference's DeepSpeed ZeRO-2 data parallelism
+(``deepspeed/stage2-offload.json``) with GSPMD sharding:
+
+  - tensor parallelism: decoder projections split on the head/ffn axis
+    over 'model' (megatron-style: q/k/v/gate/up column-split, o/down
+    row-split — collectives ride ICI);
+  - ZeRO/FSDP-style: the same weights split on the *other* matrix axis
+    over 'data', so each data shard holds 1/data of every weight and XLA
+    all-gathers per layer inside the scan;
+  - encoders/projectors/seg (small, frozen or near-frozen) replicate;
+  - embeddings/lm_head split on vocab over 'model'.
+
+Everything is expressed as PartitionSpecs mirroring the param pytree, so
+``jax.device_put(params, shard_params_specs(...))`` or pjit in/out specs
+can consume it directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from crab_tpu.core.config import CrabConfig
+
+
+def decoder_layer_specs(fsdp: bool = True) -> Dict[str, Any]:
+    """Specs for the stacked (L, in, out) decoder weights."""
+    data = "data" if fsdp else None
+    col = P(None, data, "model")  # (L, in[data], out[model])
+    row = P(None, "model", data)  # (L, in[model], out[data])
+    rep = P()
+
+    def proj(spec, bias_spec=None, lora_out=False):
+        d = {"w": spec}
+        if bias_spec is not None:
+            d["b"] = bias_spec
+        d["lora"] = {
+            "route": P(),
+            "A": P(),
+            "B": P(None, None, None, "model") if lora_out else P(),
+        }
+        return d
+
+    return {
+        "attn_norm": {"scale": P()},
+        "mlp_norm": {"scale": P()},
+        "q": proj(col, P(None, "model"), lora_out=True),
+        "k": proj(col, P(None, "model"), lora_out=True),
+        "v": proj(col, P(None, "model"), lora_out=True),
+        "o": proj(row, lora_out=False),
+        "gate": proj(col, lora_out=True),
+        "up": proj(col, lora_out=True),
+        "down": proj(row, lora_out=False),
+    }
+
+
+def crab_param_specs(params: Dict, fsdp: bool = True) -> Dict:
+    """PartitionSpec pytree matching an init_crab/convert param tree."""
+    layer_specs = decoder_layer_specs(fsdp)
+
+    def spec_for(path, leaf):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if not keys:
+            return P()
+        if keys[0] == "decoder":
+            if keys[1] == "embed":
+                # extended vocab (base + 17) is rarely divisible by the
+                # model axis; replicate the table, shard the lm_head on
+                # hidden (row-parallel -> psum on logits)
+                return P()
+            if keys[1] == "lm_head":
+                return P("model", None)
+            if keys[1] == "final_norm":
+                return P()
+            if keys[1] == "layers":
+                node: Any = layer_specs
+                for k in keys[2:]:
+                    if isinstance(node, dict) and k in node:
+                        node = node[k]
+                    else:
+                        return P()
+                return node if isinstance(node, P) else P()
+        return P()  # encoders / projectors / seg: replicated
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_crab_params(params: Dict, mesh: Mesh, fsdp: bool = True) -> Dict:
+    """Place params on the mesh according to the spec tree."""
+    specs = crab_param_specs(params, fsdp)
+    return jax.tree_util.tree_map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params,
+        specs,
+    )

@@ -1,0 +1,189 @@
+"""Training state + jitted train step.
+
+Replaces HF Trainer + DeepSpeed ZeRO-2 CPU-offload
+(``scripts/pretrain/trainer.py``, ``deepspeed/stage2-offload.json``) with
+optax under pjit: params/opt-state shard over the mesh (see
+``runtime/sharding.py``), gradient reduction is a compiler-inserted
+reduce-scatter/all-reduce over ICI, and selective training uses an optax
+mask instead of requires_grad surgery
+(``finetune_hyperlora.py:190-199``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from crab_tpu.core.config import CrabConfig
+from crab_tpu.fusion.splice import IGNORE_LABEL
+from crab_tpu.lm.llama import llama_apply
+from crab_tpu.runtime.engine import splice_from_arrays
+from crab_tpu.runtime.model import encode_audio, encode_video
+from crab_tpu.seg.losses import avss_ce_loss, dice_loss, sigmoid_ce_loss
+from crab_tpu.seg.seg_module import seg_apply
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Dict
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# trainable-parameter selection (the reference's save_modules mechanism)
+# ---------------------------------------------------------------------------
+
+STAGE_TRAINABLE = {
+    # stage-1 per-modality pretrain: projector only (plus LoRA on decoder)
+    "pretrain_visual": ("vl_projector",),
+    "pretrain_audio": ("al_projector",),
+    "pretrain_seg": ("seg",),
+    # stage-2 joint finetune: projectors + MoE-LoRA
+    # (finetune_hyperlora.sh:50  save_modules='vl_projector,al_projector,lora')
+    "finetune": ("vl_projector", "al_projector", "lora"),
+    # stage-3 AVS: seg head + embeddings + lm head
+    # (finetune_hyper_lora_avs.sh:52)
+    "finetune_avs": ("seg", "embed", "lm_head"),
+    "all": ("",),
+}
+
+
+def trainable_mask(params: Dict, modules: Sequence[str]) -> Dict:
+    """True where any selector matches the param path (substring match,
+    like the reference's ``save_modules`` filter)."""
+
+    def match(path, leaf):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        return any(m != "" and m in name for m in modules) or "" in modules
+
+    return jax.tree_util.tree_map_with_path(match, params)
+
+
+def make_optimizer(
+    learning_rate, modules: Sequence[str], params: Dict, weight_decay: float = 0.0
+):
+    tx = optax.adamw(learning_rate, b1=0.9, b2=0.999, weight_decay=weight_decay)
+    mask = trainable_mask(params, modules)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()},
+        jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask),
+    )
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+
+def lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """HF-style shifted CE: predict token t+1 from position t."""
+    logits = logits[:, :-1]
+    labels = labels[:, 1:]
+    valid = labels != IGNORE_LABEL
+    safe = jnp.where(valid, labels, 0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
+    return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def seg_losses(
+    masks: jnp.ndarray,  # (B, ncls, H, W) logits
+    gt: jnp.ndarray,  # (B, H, W) binary float or int labels
+    avss: bool,
+    bce_weight: float = 1.0,
+    dice_weight: float = 0.5,
+) -> jnp.ndarray:
+    """Mask loss mix (``multimodal_encoder.py:459-491``)."""
+    B = masks.shape[0]
+    if avss:
+        return avss_ce_loss(masks, gt.astype(jnp.int32))
+    pred = masks[:, 0]
+    return bce_weight * sigmoid_ce_loss(pred, gt, B) * B / B + dice_weight * dice_loss(
+        pred, gt, B
+    )
+
+
+# ---------------------------------------------------------------------------
+# train step
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(
+    cfg: CrabConfig,
+    optimizer,
+    avs: bool = False,
+    avss_head: bool = False,
+):
+    """Returns a jittable train_step(state, batch) -> (state, metrics).
+
+    batch (device arrays):
+      media: {'audio': (B,T,ns)[, 'video'|'image': (B,T,H,W,3) u8]}
+      text_ids, feat_idx, attention_mask, position_ids, labels: (B, L)
+      mask_token_pos: (B, K)   [avs only]
+      gt_mask: (B, H, W)       [avs only]
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    def loss_fn(params, batch):
+        media = batch["media"]
+        parts = []
+        seg_taps = None
+        if "audio" in media:
+            parts.append(encode_audio(params, cfg, media["audio"]))
+        if "video" in media:
+            tok, seg_taps = encode_video(params, cfg, media["video"], avs)
+            parts.append(tok)
+        if "image" in media:
+            tok, seg_taps = encode_video(params, cfg, media["image"], avs)
+            parts.append(tok)
+        bank = jnp.concatenate(parts, axis=1)
+        B, stride, D = bank.shape
+        emb = splice_from_arrays(
+            params["decoder"]["embed"],
+            batch["text_ids"],
+            batch["feat_idx"],
+            bank.reshape(B * stride, D),
+        ).astype(dtype)
+        logits, hidden, _, _ = llama_apply(
+            params["decoder"],
+            cfg.decoder,
+            emb,
+            attention_mask=batch["attention_mask"],
+            position_ids=batch["position_ids"],
+        )
+        loss = lm_loss(logits, batch["labels"])
+        metrics = {"lm_loss": loss}
+        if avs:
+            pos = batch["mask_token_pos"]  # (B, K)
+            pred = jnp.take_along_axis(
+                hidden, jnp.maximum(pos, 0)[..., None], axis=1
+            ).astype(jnp.float32)
+            masks = seg_apply(
+                params["seg"],
+                pred,
+                seg_taps,
+                cfg.seg,
+                task="avss" if avss_head else "binary",
+            )
+            mloss = seg_losses(masks, batch["gt_mask"], avss_head)
+            metrics["mask_loss"] = mloss
+            loss = loss + mloss
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def train_step(state: TrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return train_step
+
+
+def init_train_state(params: Dict, optimizer) -> TrainState:
+    return TrainState(jnp.zeros((), jnp.int32), params, optimizer.init(params))

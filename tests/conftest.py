@@ -6,7 +6,8 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# overwrite, not setdefault: the harness presets JAX_PLATFORMS=axon (TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +19,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# The image's sitecustomize (PYTHONPATH=/root/.axon_site) pre-imports jax
+# with the axon TPU platform, so env vars alone are too late; the backend
+# is still uninitialized at conftest time, so the config switch works.
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare fp32 math against torch oracles; JAX's default
 # matmul precision is bf16-class on TPU *and* on this CPU build, which

@@ -1,0 +1,116 @@
+"""End-to-end inference-engine tests on the tiny config (CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from crab_tpu.core.config import crab_tiny
+from crab_tpu.fusion.tokens import SpecialTokens
+from crab_tpu.runtime.engine import InferenceEngine
+from crab_tpu.runtime.model import init_crab
+from crab_tpu.tasks.registry import TaskSpec
+from crab_tpu.tasks import prompts
+
+
+class StubTokenizer:
+    """Deterministic word-hash tokenizer for tests."""
+
+    def __init__(self, special: SpecialTokens):
+        self.special = special
+
+    def encode(self, text):
+        out = []
+        for w in text.replace(">", "> ").replace("<", " <").split():
+            if w in self.special.token_to_id:
+                out.append(self.special.token_to_id[w])
+            else:
+                out.append(3 + (hash(w) % 300))
+        return out
+
+    def decode(self, ids):
+        return " ".join(f"t{i}" for i in ids)
+
+
+CFG = crab_tiny(vocab_size=400 + 17)
+SPECIAL = SpecialTokens(base_vocab=400)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = init_crab(jax.random.PRNGKey(0), CFG)
+    return InferenceEngine(
+        CFG,
+        params,
+        StubTokenizer(SPECIAL),
+        SPECIAL,
+        eos_id=399,  # unlikely under random weights
+        seq_bucket=32,
+    )
+
+
+def _tiny_av_task(name, is_avs=False, avss_head=False):
+    q = CFG.al_projector.num_query_tokens
+    return TaskSpec(
+        name,
+        lambda s: prompts.avs_instruction(),  # image+audio prompt fits the media
+        lambda s: s["_media"],
+        {"<image>": q, "<audio>": q},
+        is_avs=is_avs,
+        avss_head=avss_head,
+        max_new_tokens=8,
+        metric="mask" if is_avs else "text",
+    )
+
+
+def _media(rng, frames=1):
+    return {
+        "image": rng.integers(0, 255, (frames, 56, 56, 3)).astype(np.uint8),
+        "audio": rng.standard_normal((1, 16000)).astype(np.float32) * 0.05,
+    }
+
+
+def test_ntp_batch(engine, monkeypatch):
+    from crab_tpu.tasks import registry
+
+    task = _tiny_av_task("tiny-ave")
+    monkeypatch.setitem(registry.TASKS, "tiny-ave", task)
+    rng = np.random.default_rng(0)
+    samples = [{"media": _media(rng)} for _ in range(2)]
+    out = engine.run("tiny-ave", samples)
+    assert len(out.texts) == 2
+    assert out.tokens.shape == (2, 8)
+    assert out.masks is None
+    # deterministic: same inputs -> same tokens
+    out2 = engine.run("tiny-ave", samples)
+    np.testing.assert_array_equal(out.tokens, out2.tokens)
+
+
+def test_avs_batch(engine, monkeypatch):
+    from crab_tpu.tasks import registry
+
+    task = _tiny_av_task("tiny-s4", is_avs=True)
+    monkeypatch.setitem(registry.TASKS, "tiny-s4", task)
+    rng = np.random.default_rng(1)
+    samples = [{"media": _media(rng)}]
+    out = engine.run("tiny-s4", samples)
+    assert out.masks is not None
+    assert out.masks.shape == (1, 1, CFG.seg.output_mask_size, CFG.seg.output_mask_size)
+    assert out.mask_found is not None
+    # with random weights the model almost surely didn't emit <mask_i>
+    assert out.mask_found.dtype == bool
+
+
+def test_avss_head(engine, monkeypatch):
+    from crab_tpu.tasks import registry
+
+    task = _tiny_av_task("tiny-avss", is_avs=True, avss_head=True)
+    monkeypatch.setitem(registry.TASKS, "tiny-avss", task)
+    rng = np.random.default_rng(2)
+    out = engine.run("tiny-avss", [{"media": _media(rng)}])
+    assert out.masks.shape == (
+        1,
+        CFG.seg.avss_num_classes,
+        CFG.seg.output_mask_size,
+        CFG.seg.output_mask_size,
+    )

@@ -205,3 +205,28 @@ def test_capture_mask_hidden():
     assert bool(found[0])
     # mask tokens at idx 1,2,3 -> hidden 2,3,4
     np.testing.assert_array_equal(np.asarray(pred[0, :, 0]), [2.0, 3.0, 4.0])
+
+
+def test_int8_weight_only_quant(hf_model, params):
+    """int8 decoder output stays close to fp32 (cosine > 0.999)."""
+    from crab_tpu.lm.quant import quantize_decoder
+
+    qparams = quantize_decoder(params)
+    # memory layout: int8 weights + fp32 scales present, fp32 'w' gone
+    assert qparams["layers"]["q"]["w_q"].dtype == jnp.int8
+    assert "w" not in qparams["layers"]["q"]
+
+    rng = np.random.default_rng(5)
+    embeds = rng.standard_normal((2, 9, 64)).astype(np.float32) * 0.1
+    ref, _, _, _ = llama_apply(params, CFG, jnp.asarray(embeds))
+    ours, _, _, _ = llama_apply(qparams, CFG, jnp.asarray(embeds))
+    a = np.asarray(ref).reshape(-1)
+    b = np.asarray(ours).reshape(-1)
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999, cos
+    # greedy tokens unchanged on this tiny model
+    mask = jnp.ones((2, 9), jnp.int32)
+    pos = jnp.cumsum(mask, axis=-1) - 1
+    t_ref = generate(params, CFG, jnp.asarray(embeds), mask, pos, 5, 10**6)
+    t_q = generate(qparams, CFG, jnp.asarray(embeds), mask, pos, 5, 10**6)
+    assert (np.asarray(t_ref.tokens) == np.asarray(t_q.tokens)).mean() > 0.7

@@ -1,0 +1,168 @@
+"""Training-stack tests: selective training, loss drop, delta export,
+and multi-device sharded training on the 8-CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crab_tpu.core.config import crab_tiny
+from crab_tpu.core.mesh import MeshSpec, make_mesh
+from crab_tpu.fusion.splice import IGNORE_LABEL, SampleSpec, build_splice_batch
+from crab_tpu.fusion.tokens import SpecialTokens
+from crab_tpu.runtime.model import init_crab
+from crab_tpu.runtime.sharding import shard_crab_params
+from crab_tpu.train.checkpoint import export_delta, load_delta
+from crab_tpu.train.state import (
+    STAGE_TRAINABLE,
+    TrainState,
+    init_train_state,
+    lm_loss,
+    make_optimizer,
+    make_train_step,
+    trainable_mask,
+)
+
+CFG = crab_tiny(vocab_size=417)
+SPECIAL = SpecialTokens(base_vocab=400)
+
+
+def _make_batch(rng, B=2, avs=False):
+    q = CFG.al_projector.num_query_tokens
+    ids = np.array(
+        [5, 6, SPECIAL.id("<image>"), 7, SPECIAL.id("<audio>"), 8], np.int64
+    )
+    target = [9, 10, 11]
+    if avs:
+        target = [9, SPECIAL.id("<mask_start>")] + SPECIAL.mask_token_ids + [
+            SPECIAL.id("<mask_end>")
+        ]
+    full = np.concatenate([ids, target])
+    labels = np.full(len(full), IGNORE_LABEL, np.int64)
+    labels[len(ids):] = target
+    specs = [
+        SampleSpec(full, {"<image>": q, "<audio>": q}, labels, "s4") for _ in range(B)
+    ]
+    sb = build_splice_batch(specs, SPECIAL)
+    batch = {
+        "media": {
+            "audio": jnp.asarray(
+                rng.standard_normal((B, 1, 16000)).astype(np.float32) * 0.05
+            ),
+            "image": jnp.asarray(
+                rng.integers(0, 255, (B, 1, 56, 56, 3)).astype(np.uint8)
+            ),
+        },
+        "text_ids": jnp.asarray(sb.text_ids),
+        "feat_idx": jnp.asarray(sb.feat_idx),
+        "attention_mask": jnp.asarray(sb.attention_mask),
+        "position_ids": jnp.asarray(sb.position_ids),
+        "labels": jnp.asarray(sb.labels),
+    }
+    if avs:
+        batch["mask_token_pos"] = jnp.asarray(sb.mask_token_pos)
+        batch["gt_mask"] = jnp.asarray(
+            (rng.random((B, CFG.seg.output_mask_size, CFG.seg.output_mask_size)) > 0.5
+             ).astype(np.float32)
+        )
+    return batch
+
+
+def test_trainable_mask_selects_reference_modules():
+    params = init_crab(jax.random.PRNGKey(0), CFG)
+    mask = trainable_mask(params, STAGE_TRAINABLE["finetune"])
+    assert mask["vl_projector"]["mlp"]["fc1"]["w"]
+    assert mask["al_projector"]["ln_in"]["scale"]
+    assert mask["decoder"]["layers"]["q"]["lora"]["A"]
+    assert not mask["decoder"]["layers"]["q"]["w"]
+    assert not mask["vision"]["pre_ln"]["scale"]
+    mask3 = trainable_mask(params, STAGE_TRAINABLE["finetune_avs"])
+    assert mask3["seg"]["text_fc"]["fc1"]["w"]
+    assert mask3["decoder"]["embed"]
+    assert mask3["decoder"]["lm_head"]
+    assert not mask3["decoder"]["layers"]["q"]["lora"]["A"]
+
+
+def test_train_step_reduces_loss_and_freezes():
+    rng = np.random.default_rng(0)
+    params = init_crab(jax.random.PRNGKey(1), CFG)
+    opt = make_optimizer(3e-3, STAGE_TRAINABLE["finetune"], params)
+    step = jax.jit(make_train_step(CFG, opt))
+    state = init_train_state(params, opt)
+    batch = _make_batch(rng)
+    frozen_before = np.asarray(state.params["decoder"]["layers"]["q"]["w"])
+    trained_before = np.asarray(state.params["vl_projector"]["mlp"]["fc1"]["w"])
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+    np.testing.assert_array_equal(
+        frozen_before, np.asarray(state.params["decoder"]["layers"]["q"]["w"])
+    )
+    assert not np.allclose(
+        trained_before, np.asarray(state.params["vl_projector"]["mlp"]["fc1"]["w"])
+    )
+
+
+def test_avs_train_step():
+    rng = np.random.default_rng(1)
+    params = init_crab(jax.random.PRNGKey(2), CFG)
+    opt = make_optimizer(1e-3, STAGE_TRAINABLE["finetune_avs"], params)
+    step = jax.jit(make_train_step(CFG, opt, avs=True))
+    state = init_train_state(params, opt)
+    batch = _make_batch(rng, avs=True)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["mask_loss"]))
+    assert float(metrics["loss"]) > float(metrics["lm_loss"]) - 1e-6
+
+
+def test_delta_export_roundtrip(tmp_path):
+    params = init_crab(jax.random.PRNGKey(3), CFG)
+    path = str(tmp_path / "delta.npz")
+    export_delta(path, params, STAGE_TRAINABLE["finetune"])
+    # perturb, then restore from delta
+    perturbed = jax.tree_util.tree_map(lambda x: x + 1.0, params)
+    restored = load_delta(path, perturbed)
+    np.testing.assert_array_equal(
+        np.asarray(restored["vl_projector"]["mlp"]["fc1"]["w"]),
+        np.asarray(params["vl_projector"]["mlp"]["fc1"]["w"]),
+    )
+    # non-delta params keep the perturbed values
+    np.testing.assert_array_equal(
+        np.asarray(restored["decoder"]["layers"]["q"]["w"]),
+        np.asarray(perturbed["decoder"]["layers"]["q"]["w"]),
+    )
+    import json
+
+    with open(path + ".manifest.json") as f:
+        manifest = json.load(f)
+    assert any("lora" in k for k in manifest["keys"])
+    assert not any(k.startswith("vision/") for k in manifest["keys"])
+
+
+def test_sharded_train_step_8cpu():
+    """DP+TP train step over the virtual 8-device mesh."""
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    rng = np.random.default_rng(2)
+    params = init_crab(jax.random.PRNGKey(4), CFG)
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        sharded = shard_crab_params(params, mesh)
+        opt = make_optimizer(1e-3, STAGE_TRAINABLE["finetune"], sharded)
+        step = jax.jit(make_train_step(CFG, opt))
+        state = init_train_state(sharded, opt)
+        batch = _make_batch(rng, B=4)
+        state, metrics = step(state, batch)
+        l1 = float(metrics["loss"])
+        state, metrics = step(state, batch)
+        assert np.isfinite(l1) and np.isfinite(float(metrics["loss"]))
+    # parity with the unsharded step
+    opt_u = make_optimizer(1e-3, STAGE_TRAINABLE["finetune"], params)
+    step_u = jax.jit(make_train_step(CFG, opt_u))
+    state_u = init_train_state(params, opt_u)
+    _, m_u = step_u(state_u, batch)
+    np.testing.assert_allclose(l1, float(m_u["loss"]), rtol=2e-3)
