@@ -1,0 +1,170 @@
+"""Training CLI — the analogue of ``scripts/pretrain/pretrain.py`` and
+``scripts/finetune/finetune_hyperlora*.py``.
+
+Three-stage recipe (SURVEY.md §5 checkpoint layout):
+  stage 1: --stage pretrain_{visual,audio,seg}   (projector / seg pretrain)
+  stage 2: --stage finetune                      (joint MoE-LoRA, 9 tasks)
+  stage 3: --stage finetune_avs                  (seg + embeddings + head)
+
+Each stage trains only its reference-matching module subset
+(train.state.STAGE_TRAINABLE) and exports both a full orbax checkpoint
+(preemption-safe, optimizer included — unlike the reference, which drops
+optimizer state) and a reference-style filtered delta.
+
+Usage:
+  python -m crab_tpu.cli.train --stage finetune \
+      --annotations avqa=ann/avqa.json,s4=ann/s4.json \
+      [--llama DIR --clip DIR --beats F.pt --tokenizer DIR] \
+      [--random-init --tiny] --out runs/stage2 --epochs 1 --batch-size 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict
+
+import numpy as np
+
+
+def _fit_batch_media(batch: Dict, cfg) -> Dict:
+    """Host-side resize of frames/gt to the configured sizes (mirrors
+    InferenceEngine._fit_media for the train path)."""
+    import cv2
+
+    size = cfg.vision.image_size
+    media = dict(batch["media"])
+    for key in ("video", "image"):
+        if key in media and media[key].shape[2] != size:
+            media[key] = np.stack(
+                [
+                    np.stack([cv2.resize(f, (size, size)) for f in frames])
+                    for frames in media[key]
+                ]
+            ).astype(np.uint8)
+    batch = dict(batch)
+    batch["media"] = media
+    if "gt_mask" in batch and batch["gt_mask"].shape[-1] != cfg.seg.output_mask_size:
+        s = cfg.seg.output_mask_size
+        interp = cv2.INTER_NEAREST
+        batch["gt_mask"] = np.stack(
+            [cv2.resize(np.asarray(m, np.float32), (s, s), interpolation=interp)
+             for m in batch["gt_mask"]]
+        ).astype(batch["gt_mask"].dtype)
+    return batch
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stage", required=True,
+                   choices=["pretrain_visual", "pretrain_audio", "pretrain_seg",
+                            "finetune", "finetune_avs", "all"])
+    p.add_argument("--annotations", required=True,
+                   help="task=path[,task=path...]")
+    p.add_argument("--llama", default="")
+    p.add_argument("--clip", default="")
+    p.add_argument("--beats", default="")
+    p.add_argument("--tokenizer", default="")
+    p.add_argument("--delta", default="", help="previous-stage delta to load")
+    p.add_argument("--out", required=True)
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--save-every", type=int, default=200)
+    p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--resume", default="", help="orbax checkpoint to resume")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="devices on the data axis (0 = all)")
+    p.add_argument("--model-parallel", type=int, default=1)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from crab_tpu.core.config import crab_7b, crab_tiny
+    from crab_tpu.core.mesh import MeshSpec, make_mesh
+    from crab_tpu.fusion.tokens import SpecialTokens
+    from crab_tpu.runtime.sharding import shard_crab_params
+    from crab_tpu.tasks.datasets import TrainCollator, TrainDataset, task_batches
+    from crab_tpu.tasks.registry import TASKS
+    from crab_tpu.train import checkpoint as ckpt
+    from crab_tpu.train.state import (
+        STAGE_TRAINABLE,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from crab_tpu.utils.diagnostics import StageTimer
+    from crab_tpu.cli.quick_start import build_params, build_tokenizer
+
+    cfg = crab_tiny() if args.tiny else crab_7b()
+    special = SpecialTokens(base_vocab=400 if args.tiny else 32000)
+    tokenizer = build_tokenizer(args, special)
+
+    annotations = dict(kv.split("=", 1) for kv in args.annotations.split(","))
+    dataset = TrainDataset(annotations, special)
+    collator = TrainCollator(tokenizer, special, cfg)
+    print(f"dataset: {len(dataset)} examples over {sorted(annotations)}")
+
+    params = build_params(args, cfg)
+    n_dev = jax.device_count()
+    dp = args.data_parallel or max(n_dev // args.model_parallel, 1)
+    mesh = make_mesh(MeshSpec(data=dp, model=args.model_parallel))
+    if dp * args.model_parallel > 1:
+        params = shard_crab_params(params, mesh)
+
+    optimizer = make_optimizer(
+        args.lr, STAGE_TRAINABLE[args.stage], params, args.weight_decay
+    )
+    state = init_train_state(params, optimizer)
+    if args.resume:
+        state = ckpt.restore_state(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    steps = {}  # (is_avs, avss) -> jitted step
+    timer = StageTimer()
+    os.makedirs(args.out, exist_ok=True)
+    log_fp = open(os.path.join(args.out, "train_log.jsonl"), "a")
+
+    global_step = int(state.step)
+    for epoch in range(args.epochs):
+        for batch in task_batches(dataset, collator, args.batch_size):
+            is_avs = "gt_mask" in batch
+            avss = bool(
+                is_avs and batch["gt_mask"].dtype in (np.int32, np.int64)
+            )
+            key = (is_avs, avss)
+            if key not in steps:
+                steps[key] = jax.jit(
+                    make_train_step(cfg, optimizer, avs=is_avs, avss_head=avss)
+                )
+            batch = _fit_batch_media(batch, cfg)
+            batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            with timer.stage("step", sync=None):
+                state, metrics = steps[key](state, batch)
+            global_step += 1
+            if global_step % args.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(step=global_step, epoch=epoch)
+                log_fp.write(json.dumps(m) + "\n")
+                log_fp.flush()
+                print(f"step {global_step}: {m}")
+            if global_step % args.save_every == 0:
+                ckpt.save_state(os.path.join(args.out, f"ckpt_{global_step}"), state)
+        # end of epoch: full checkpoint + reference-style delta
+        ckpt.save_state(os.path.join(args.out, f"ckpt_{global_step}"), state)
+        ckpt.export_delta(
+            os.path.join(args.out, f"delta_{args.stage}.npz"),
+            jax.device_get(state.params),
+            STAGE_TRAINABLE[args.stage],
+        )
+    print(f"done. {timer.report()}")
+
+
+if __name__ == "__main__":
+    main()

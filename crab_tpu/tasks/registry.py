@@ -169,3 +169,94 @@ TASKS: Dict[str, TaskSpec] = {
 }
 
 AVS_TASKS = ("ms3", "s4", "avss", "ref-avs")
+
+
+# ---------------------------------------------------------------------------
+# Stage-1 pretrain tasks (``dataset/pretrain_dataset.py``): caption data for
+# each modality + LVIS binary segmentation. Media recipes mirror the
+# reference: 8 uniform video frames, 1-second audio windows padded to whole
+# seconds (capped for static shapes), masks as gray>0 at 224.
+# ---------------------------------------------------------------------------
+
+PRETRAIN_VIDEO_FRAMES = 8
+MAX_PRETRAIN_AUDIO_SECONDS = 10
+
+
+def _pt_audio(sample):
+    audio = load_wav(sample["audio_path"])
+    sr = 16000
+    if len(audio) < sr:
+        audio = np.concatenate([audio, np.zeros(sr - len(audio), np.float32)])
+    secs = min(-(-len(audio) // sr), MAX_PRETRAIN_AUDIO_SECONDS)
+    audio = audio[: secs * sr]
+    if len(audio) < secs * sr:
+        audio = np.concatenate([audio, np.zeros(secs * sr - len(audio), np.float32)])
+    return audio.reshape(secs, sr)
+
+
+def _pt_image_caption_media(sample):
+    return {"image": _image(sample)}
+
+
+def _pt_video_caption_media(sample):
+    return {"video": load_video_frames(sample["video_path"], PRETRAIN_VIDEO_FRAMES, 224)}
+
+
+def _pt_audio_caption_media(sample):
+    return {"audio": _pt_audio(sample)}
+
+
+def _pt_lvis_media(sample):
+    out = {"image": _image(sample)}
+    if sample.get("mask_path"):
+        out["mask"] = load_binary_mask(sample["mask_path"])
+    return out
+
+
+def _pt_image_instruction(s):
+    return (
+        f"This is an image:\n{prompts.IMAGE_SPAN}\n"
+        f"Please answer the question:\n{s['question']}"
+    )
+
+
+def _pt_video_instruction(s):
+    return (
+        f"This is a video:\n{prompts.VIDEO_SPAN}\n"
+        f"Please answer the question:\n{s['question']}"
+    )
+
+
+def _pt_audio_instruction(s):
+    return f"This is an audio:\n{prompts.AUDIO_SPAN}\nPlease describe this audio."
+
+
+def _pt_lvis_instruction(s):
+    return (
+        f"This is an image:\n{prompts.IMAGE_SPAN}\n"
+        f"Please segment out the object that corresponding to the "
+        f"{s['name']}, {s['def']} in the image."
+    )
+
+
+TASKS.update(
+    {
+        "image_caption": TaskSpec(
+            "image_caption", _pt_image_instruction, _pt_image_caption_media,
+            {"<image>": QUERY_TOKENS}, metric="text",
+        ),
+        "video_caption": TaskSpec(
+            "video_caption", _pt_video_instruction, _pt_video_caption_media,
+            {"<video>": PRETRAIN_VIDEO_FRAMES * QUERY_TOKENS}, metric="text",
+        ),
+        "audio_caption": TaskSpec(
+            "audio_caption", _pt_audio_instruction, _pt_audio_caption_media,
+            {"<audio>": MAX_PRETRAIN_AUDIO_SECONDS * QUERY_TOKENS}, metric="text",
+        ),
+        "lvis_seg": TaskSpec(
+            "lvis_seg", _pt_lvis_instruction, _pt_lvis_media,
+            {"<image>": QUERY_TOKENS}, is_avs=True, max_new_tokens=100,
+            metric="mask",
+        ),
+    }
+)

@@ -39,15 +39,16 @@ class TrainState(NamedTuple):
 
 STAGE_TRAINABLE = {
     # stage-1 per-modality pretrain: projector only (plus LoRA on decoder)
-    "pretrain_visual": ("vl_projector",),
-    "pretrain_audio": ("al_projector",),
-    "pretrain_seg": ("seg",),
+    "pretrain_visual": ("vl_projector/",),
+    "pretrain_audio": ("al_projector/",),
+    "pretrain_seg": ("seg/",),
     # stage-2 joint finetune: projectors + MoE-LoRA
     # (finetune_hyperlora.sh:50  save_modules='vl_projector,al_projector,lora')
-    "finetune": ("vl_projector", "al_projector", "lora"),
+    "finetune": ("vl_projector/", "al_projector/", "/lora/"),
     # stage-3 AVS: seg head + embeddings + lm head
-    # (finetune_hyper_lora_avs.sh:52)
-    "finetune_avs": ("seg", "embed", "lm_head"),
+    # (finetune_hyper_lora_avs.sh:52; note 'decoder/embed' — a bare 'embed'
+    # would also catch the frozen encoders' patch/position embeddings)
+    "finetune_avs": ("seg/", "decoder/embed", "decoder/lm_head"),
     "all": ("",),
 }
 
@@ -57,7 +58,8 @@ def trainable_mask(params: Dict, modules: Sequence[str]) -> Dict:
     like the reference's ``save_modules`` filter)."""
 
     def match(path, leaf):
-        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        # leading slash so prefix selectors like 'seg/' anchor cleanly
+        name = "/" + "/".join(str(getattr(p, "key", p)) for p in path) + "/"
         return any(m != "" and m in name for m in modules) or "" in modules
 
     return jax.tree_util.tree_map_with_path(match, params)

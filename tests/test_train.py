@@ -166,3 +166,16 @@ def test_sharded_train_step_8cpu():
     state_u = init_train_state(params, opt_u)
     _, m_u = step_u(state_u, batch)
     np.testing.assert_allclose(l1, float(m_u["loss"]), rtol=2e-3)
+
+
+def test_trainable_mask_precision():
+    """Selectors must not leak into frozen encoder embeddings
+    ('embed' vs audio/patch_embedding regression)."""
+    params = init_crab(jax.random.PRNGKey(9), CFG)
+    mask = trainable_mask(params, STAGE_TRAINABLE["finetune_avs"])
+    assert mask["decoder"]["embed"]
+    assert mask["decoder"]["lm_head"]
+    assert mask["seg"]["no_mask_embed"]
+    assert not mask["audio"]["patch_embedding"]["w"]
+    assert not mask["vision"]["position_embedding"]
+    assert not mask["vl_projector"]["qformer"]["emb_ln"]["scale"]
