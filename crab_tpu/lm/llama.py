@@ -177,8 +177,13 @@ def llama_apply(
 
     lora_cfg = cfg.lora
 
-    def layer_fn(carry, layer_params):
-        x, = carry
+    def layer_fn(carry, inputs):
+        # The KV cache rides the scan *carry* and is updated in place per
+        # layer. Putting it in the ys (stacked outputs) instead would copy
+        # the whole (L, B, S, ...) cache to fresh buffers every decode
+        # step — measured ~2x decode-step cost at 7B.
+        x, k_cache, v_cache = carry
+        layer_params, layer_idx = inputs
         h = rms_norm(layer_params["attn_norm"], x, cfg.rms_norm_eps)
         out = {}
         if collect_routes and lora_cfg is not None and "lora" in layer_params["q"]:
@@ -204,14 +209,14 @@ def llama_apply(
 
         if cache is not None:
             k_cache = jax.lax.dynamic_update_slice(
-                layer_params["_k_cache"], k, (0, offset, 0, 0)
+                k_cache, k[None], (layer_idx, 0, offset, 0, 0)
             )
             v_cache = jax.lax.dynamic_update_slice(
-                layer_params["_v_cache"], v, (0, offset, 0, 0)
+                v_cache, v[None], (layer_idx, 0, offset, 0, 0)
             )
-            k_full, v_full = k_cache, v_cache
+            k_full = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, False)
+            v_full = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, False)
         else:
-            k_cache = v_cache = None
             k_full, v_full = k, v
 
         attn = _attention(q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads)
@@ -222,24 +227,30 @@ def llama_apply(
         up = _proj(layer_params["up"], h, lora_cfg)
         x = x + _proj(layer_params["down"], jax.nn.silu(gate) * up, lora_cfg)
 
-        if cache is not None:
-            out["k"], out["v"] = k_cache, v_cache
-        return (x,), out
+        return (x, k_cache, v_cache), out
 
-    layer_params = dict(params["layers"])
     if cache is not None:
-        layer_params["_k_cache"] = cache.k
-        layer_params["_v_cache"] = cache.v
+        k0, v0 = cache.k, cache.v
+    else:
+        # zero-size placeholder keeps the carry structure static
+        k0 = jnp.zeros((0,), x.dtype)
+        v0 = jnp.zeros((0,), x.dtype)
 
-    (x,), ys = jax.lax.scan(layer_fn, (x,), layer_params)
+    (x, k_cache, v_cache), ys = jax.lax.scan(
+        layer_fn,
+        (x, k0, v0),
+        (params["layers"], jnp.arange(cfg.num_layers)),
+    )
 
     x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
 
     new_cache = None
     if cache is not None:
-        new_cache = KVCache(ys["k"], ys["v"], offset + T)
+        new_cache = KVCache(k_cache, v_cache, offset + T)
     telemetry = (
-        {"q_route_mean": ys["q_route_mean"]} if collect_routes and "q_route_mean" in ys else None
+        {"q_route_mean": ys["q_route_mean"]}
+        if collect_routes and isinstance(ys, dict) and "q_route_mean" in ys
+        else None
     )
     return logits, x, new_cache, telemetry

@@ -1,0 +1,71 @@
+"""MoE-LoRA expert analysis — the analogue of ``utils/tsen_lora.py``.
+
+The reference t-SNEs the flattened expert B matrices to visualize expert
+specialization ("explicit cooperation" evidence). Here: PCA projection
+(numpy-only; no sklearn in this image) plus expert-similarity statistics,
+operating directly on the stacked crab_tpu decoder params.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _pca_2d(x: np.ndarray) -> np.ndarray:
+    """(N, D) -> (N, 2) principal-component projection."""
+    x = x - x.mean(axis=0, keepdims=True)
+    # SVD on the (small N) gram matrix for efficiency
+    u, s, _ = np.linalg.svd(x @ x.T)
+    proj = u[:, :2] * np.sqrt(np.maximum(s[:2], 0.0))[None, :]
+    return proj
+
+
+def expert_embedding(decoder_params: Dict, proj: str = "q") -> Dict:
+    """2-D embedding + pairwise cosine of each (layer, expert) B matrix.
+
+    Returns {'points': (L*E, 2), 'labels': [(layer, expert)...],
+             'cosine': (E, E) mean over layers}.
+    """
+    B = np.asarray(decoder_params["layers"][proj]["lora"]["B"], np.float32)
+    L, E = B.shape[0], B.shape[1]
+    flat = B.reshape(L * E, -1)
+    points = _pca_2d(flat)
+    labels = [(l, e) for l in range(L) for e in range(E)]
+
+    per_layer = flat.reshape(L, E, -1)
+    norms = np.linalg.norm(per_layer, axis=-1, keepdims=True) + 1e-9
+    unit = per_layer / norms
+    cos = np.einsum("led,lfd->lef", unit, unit).mean(axis=0)
+    return {"points": points, "labels": labels, "cosine": cos}
+
+
+def route_entropy(route_mean: np.ndarray) -> float:
+    """Entropy of the mean routing distribution (L, E) — low entropy
+    means expert collapse."""
+    p = np.asarray(route_mean, np.float64)
+    p = p / p.sum(axis=-1, keepdims=True)
+    h = -(p * np.log(np.maximum(p, 1e-12))).sum(axis=-1)
+    return float(h.mean())
+
+
+def analyze(decoder_params: Dict, out_dir: Optional[str] = None) -> Dict:
+    report = {}
+    for proj in ("q", "k", "v", "o"):
+        if "lora" not in decoder_params["layers"].get(proj, {}):
+            continue
+        emb = expert_embedding(decoder_params, proj)
+        report[proj] = {
+            "expert_cosine": emb["cosine"].tolist(),
+            "spread": float(np.std(emb["points"])),
+        }
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            np.save(os.path.join(out_dir, f"{proj}_expert_points.npy"), emb["points"])
+    if out_dir:
+        with open(os.path.join(out_dir, "expert_report.json"), "w") as f:
+            json.dump(report, f, indent=1)
+    return report

@@ -13,8 +13,6 @@ from crab_tpu.lm.generate import capture_mask_hidden, generate
 from crab_tpu.lm.llama import llama_apply
 from crab_tpu.lm.lora import init_moe_lora, moe_lora_delta
 
-torch.manual_seed(0)
-
 CFG = DecoderConfig(
     vocab_size=128,
     hidden_size=64,
@@ -32,6 +30,8 @@ CFG = DecoderConfig(
 def hf_model():
     from transformers import LlamaConfig, LlamaForCausalLM
 
+    torch.manual_seed(0)  # in-fixture: module-level seeds are clobbered by
+    # other test modules imported in the same pytest session
     hf_cfg = LlamaConfig(
         vocab_size=128,
         hidden_size=64,
@@ -132,15 +132,17 @@ def test_generate_eos_early_exit(hf_model, params):
         params, CFG, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos),
         max_new_tokens=6, eos_id=10**6, pad_id=0,
     )
-    third = int(np.asarray(free.tokens)[0, 2])
+    seq = np.asarray(free.tokens)[0].tolist()
+    j = next(i for i in range(1, 6) if seq[i] not in seq[:i])
+    eos = seq[j]
     res = generate(
         params, CFG, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos),
-        max_new_tokens=6, eos_id=third, pad_id=0,
+        max_new_tokens=6, eos_id=eos, pad_id=0,
     )
     toks = np.asarray(res.tokens)[0]
-    assert toks[2] == third
-    assert np.all(toks[3:] == 0)  # padded after EOS
-    assert int(res.num_generated[0]) == 3
+    assert toks[j] == eos
+    assert np.all(toks[j + 1:] == 0)  # padded after EOS
+    assert int(res.num_generated[0]) == j + 1
 
 
 def test_moe_lora_reference_formula():

@@ -13,8 +13,6 @@ from crab_tpu.lm.convert import convert_llama
 from crab_tpu.lm.generate import generate
 from crab_tpu.lm.llama import llama_apply
 
-torch.manual_seed(1)
-
 CFG = DecoderConfig(
     vocab_size=160,
     hidden_size=64,
@@ -35,6 +33,7 @@ CFG = DecoderConfig(
 def qwen():
     from transformers import Qwen2Config, Qwen2ForCausalLM
 
+    torch.manual_seed(1)
     cfg = Qwen2Config(
         vocab_size=160,
         hidden_size=64,

@@ -1,0 +1,80 @@
+"""Tests for the offline scorer CLI, diagnostics, and router analysis."""
+
+import json
+
+import numpy as np
+
+import jax
+
+from crab_tpu.cli.score import score_arig, score_avqa, score_avs, score_avvp
+from crab_tpu.core.config import crab_tiny
+from crab_tpu.runtime.model import init_crab
+from crab_tpu.utils.diagnostics import StageTimer, nan_guard
+from crab_tpu.utils.router_analysis import analyze, route_entropy
+
+
+def test_score_avqa():
+    recs = [
+        {"predict": "It is the <answer>piano</answer>.", "answer": "piano",
+         "question_type": "loc"},
+        {"predict": "guitar", "answer": "piano", "question_type": "loc"},
+        {"predict": "two", "answer": "two", "question_type": "count"},
+    ]
+    out = score_avqa(recs)
+    assert out["n"] == 3
+    np.testing.assert_allclose(out["accuracy"], 2 / 3)
+    np.testing.assert_allclose(out["acc[loc]"], 0.5)
+    np.testing.assert_allclose(out["acc[count]"], 1.0)
+
+
+def test_score_arig():
+    recs = [
+        {
+            "predict": "Its coordinate of top left corner is (10,20) and "
+                       "coordinate of bottom right corner is (100,200)",
+            "gt_box": [10, 20, 100, 200],
+        },
+        {"predict": "no box here", "gt_box": [0, 0, 10, 10]},
+    ]
+    out = score_arig(recs)
+    assert out["iou@0.5"] == 0.5
+    assert out["iou"] > 0.49
+
+
+def test_score_avvp_and_avs():
+    rng = np.random.default_rng(0)
+    m = (rng.random((25, 10)) > 0.7).astype(float)
+    rec = {k: m.tolist() for k in ("SO_a", "SO_v", "SO_av", "GT_a", "GT_v", "GT_av")}
+    out = score_avvp([rec])
+    # predictions == ground truth -> perfect F1 everywhere
+    for k, v in out.items():
+        if k != "n":
+            np.testing.assert_allclose(v, 1.0)
+    avs = [
+        {"image_path": f"/d/v1/frames/{i}.jpg", "iou": 0.5, "fscore": 0.6}
+        for i in range(5)
+    ] + [
+        {"image_path": f"/d/v2/frames/{i}.jpg", "iou": 1.0, "fscore": 0.8}
+        for i in range(5)
+    ]
+    out = score_avs(avs)
+    np.testing.assert_allclose(out["miou"], 0.75)
+    assert out["videos"] == 2
+
+
+def test_router_analysis_and_diag():
+    cfg = crab_tiny()
+    params = init_crab(jax.random.PRNGKey(0), cfg)
+    report = analyze(params["decoder"])
+    assert "q" in report and len(report["q"]["expert_cosine"]) == 3
+    # uniform routing -> max entropy ln(3)
+    L, E = cfg.decoder.num_layers, cfg.decoder.lora.num_experts
+    h = route_entropy(np.full((L, E), 1.0 / E))
+    np.testing.assert_allclose(h, np.log(E), rtol=1e-6)
+
+    timer = StageTimer()
+    with timer.stage("x"):
+        pass
+    assert "x" in timer.summary()
+    bad = nan_guard({"a": np.ones(3), "b": np.array([np.nan])}, raise_on_nan=False)
+    assert bad == ["b"]
