@@ -20,6 +20,7 @@ Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -28,11 +29,21 @@ import numpy as np
 A100_BASELINE_CLIPS_PER_SEC = 0.25  # analytic estimate, see docstring
 MAX_NEW_TOKENS = 64
 DECODE_DTYPE = "bfloat16"
+BATCH = int(os.environ.get("CRAB_BENCH_BATCH", "4"))  # reference NTP batch is 8
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the 7B generate program takes ~10 min
+    # to compile through this relay; cached runs start in seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     from crab_tpu.core.config import crab_7b
     from crab_tpu.fusion.tokens import SpecialTokens
@@ -101,33 +112,39 @@ def main():
     registry.TASKS["bench-avqa"] = bench_task
 
     rng = np.random.default_rng(0)
-    sample = {
-        "question": "What is the left instrument of the first sounding instrument?",
-        "media": {
-            "video": rng.integers(0, 255, (10, 224, 224, 3)).astype(np.uint8),
-            "audio": (rng.standard_normal((10, 32000)) * 0.05).astype(np.float32),
-        },
-    }
+    samples = [
+        {
+            "question": "What is the left instrument of the first sounding instrument?",
+            "media": {
+                "video": rng.integers(0, 255, (10, 224, 224, 3)).astype(np.uint8),
+                "audio": (rng.standard_normal((10, 32000)) * 0.05).astype(np.float32),
+            },
+        }
+        for _ in range(BATCH)
+    ]
 
     t0 = time.time()
-    out = engine.run("bench-avqa", [sample])
+    out = engine.run("bench-avqa", samples)
     print(f"# compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
-    assert out.tokens.shape == (1, MAX_NEW_TOKENS)
+    assert out.tokens.shape == (BATCH, MAX_NEW_TOKENS)
 
     iters = 5
     t0 = time.time()
     for _ in range(iters):
-        out = engine.run("bench-avqa", [sample])
+        out = engine.run("bench-avqa", samples)
     dt = (time.time() - t0) / iters
-    clips_per_sec = 1.0 / dt
-    print(f"# steady-state: {dt*1000:.0f} ms/clip", file=sys.stderr)
+    clips_per_sec = BATCH / dt
+    print(f"# steady-state: {dt*1000:.0f} ms/batch of {BATCH}", file=sys.stderr)
 
     print(
         json.dumps(
             {
                 "metric": "avqa_e2e_clips_per_sec_per_chip",
                 "value": round(clips_per_sec, 4),
-                "unit": f"clips/s (7B int8-weight/bf16-act, 10f video + 10x2s audio, {MAX_NEW_TOKENS} decode steps)",
+                "unit": (
+                    f"clips/s (7B int8-weight/bf16-act, batch {BATCH}, 10f video "
+                    f"+ 10x2s audio, {MAX_NEW_TOKENS} decode steps)"
+                ),
                 "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
             }
         )

@@ -241,6 +241,43 @@ class InferenceEngine:
             mask_found=np.asarray(found) if found is not None else None,
         )
 
+    def route_telemetry(self, task_name: str, samples: List[Dict]) -> np.ndarray:
+        """(num_layers, num_experts) mean q-proj router weights over one
+        prefill — the reference's route-weight dumps
+        (``inference_hyper_lora.py:164-205``) without the model fork."""
+        from crab_tpu.lm.llama import llama_apply
+
+        task = TASKS[task_name]
+        specs, medias = [], []
+        for s in samples:
+            spec, media = self.build_sample(task, s)
+            specs.append(spec)
+            medias.append(media)
+        batch = build_splice_batch(
+            specs, self.special, pad_to=self._pad_len(specs, task), pad_id=self.pad_id
+        )
+        media_batch = {
+            k: jnp.asarray(np.stack([m[k] for m in medias]))
+            for k in medias[0]
+            if k != "mask"
+        }
+        bank, _ = self._make_encode(False)(self.params, media_batch)
+        emb = splice_from_arrays(
+            self.params["decoder"]["embed"],
+            jnp.asarray(batch.text_ids),
+            jnp.asarray(batch.feat_idx),
+            bank,
+        ).astype(self._dtype)
+        _, _, _, telemetry = llama_apply(
+            self.params["decoder"],
+            self.cfg.decoder,
+            emb,
+            attention_mask=jnp.asarray(batch.attention_mask),
+            position_ids=jnp.asarray(batch.position_ids),
+            collect_routes=True,
+        )
+        return np.asarray(telemetry["q_route_mean"])
+
     def _pad_len(self, specs: List[SampleSpec], task: TaskSpec) -> int:
         longest = 0
         for s in specs:

@@ -114,3 +114,17 @@ def test_avss_head(engine, monkeypatch):
         CFG.seg.output_mask_size,
         CFG.seg.output_mask_size,
     )
+
+
+def test_route_telemetry(engine, monkeypatch):
+    from crab_tpu.tasks import registry
+
+    task = _tiny_av_task("tiny-route")
+    monkeypatch.setitem(registry.TASKS, "tiny-route", task)
+    rng = np.random.default_rng(3)
+    routes = engine.route_telemetry("tiny-route", [{"media": _media(rng)}])
+    L = CFG.decoder.num_layers
+    E = CFG.decoder.lora.num_experts
+    assert routes.shape == (L, E)
+    # rows are softmax distributions
+    np.testing.assert_allclose(routes.sum(-1), np.ones(L), rtol=1e-4)
