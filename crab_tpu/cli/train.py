@@ -121,6 +121,26 @@ def main(argv=None):
     optimizer = make_optimizer(
         args.lr, STAGE_TRAINABLE[args.stage], params, args.weight_decay
     )
+    # trainable-parameter report (the reference dumps
+    # model_trainable_params.txt — finetune_hyperlora.py:202-218)
+    from crab_tpu.train.state import trainable_mask
+
+    os.makedirs(args.out, exist_ok=True)
+    mask = trainable_mask(params, STAGE_TRAINABLE[args.stage])
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_m = jax.tree_util.tree_leaves(mask)
+    total = trainable = 0
+    with open(os.path.join(args.out, "trainable_params.txt"), "w") as f:
+        for (path, leaf), m in zip(flat, flat_m):
+            n = int(np.prod(leaf.shape))
+            total += n
+            if m:
+                trainable += n
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                f.write(f"{name} {tuple(leaf.shape)} {n}\n")
+        f.write(f"\ntrainable {trainable} / total {total} "
+                f"({100.0 * trainable / max(total,1):.3f}%)\n")
+    print(f"trainable params: {trainable:,} / {total:,}")
     state = init_train_state(params, optimizer)
     if args.resume:
         state = ckpt.restore_state(args.resume, state)

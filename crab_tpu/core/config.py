@@ -133,6 +133,9 @@ class DecoderConfig:
     max_position_embeddings: int = 4096
     attention_bias: bool = False  # True for Qwen2 q/k/v
     tie_word_embeddings: bool = False
+    # int8 KV cache: halves decode-step HBM traffic via the Pallas
+    # decode-attention kernel (ops/decode_attention.py)
+    kv_quant: bool = False
     lora: Optional[MoELoRAConfig] = field(default_factory=MoELoRAConfig)
 
 

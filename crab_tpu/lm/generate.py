@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from crab_tpu.core.config import DecoderConfig
-from crab_tpu.lm.llama import KVCache, llama_apply
+from crab_tpu.lm.llama import KVCache, KVCacheQ, llama_apply
 
 
 class GenerateResult(NamedTuple):
@@ -57,7 +57,8 @@ def generate(
     S = T + max_new_tokens
     dtype = inputs_embeds.dtype
 
-    cache = KVCache.zeros(cfg, B, S, dtype)
+    cache_cls = KVCacheQ if cfg.kv_quant else KVCache
+    cache = cache_cls.zeros(cfg, B, S, dtype)
     full_mask = jnp.zeros((B, S), jnp.int32).at[:, :T].set(attention_mask)
 
     logits, _, cache, _ = llama_apply(

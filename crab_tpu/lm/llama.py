@@ -43,6 +43,30 @@ class KVCache(NamedTuple):
         )
 
 
+class KVCacheQ(NamedTuple):
+    """int8 KV cache (decode attention runs in a Pallas kernel that
+    dequantizes in VMEM — see ops/decode_attention.py). Layout is
+    (L, B, Hkv, S, d) so per-(batch, head) blocks are clean (S, d) tiles."""
+
+    k_q: jnp.ndarray  # (L, B, n_kv, S_max, hd) int8
+    k_s: jnp.ndarray  # (L, B, n_kv, S_max) f32
+    v_q: jnp.ndarray
+    v_s: jnp.ndarray
+    length: jnp.ndarray  # () int32
+
+    @classmethod
+    def zeros(cls, cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
+        vshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+        sshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len)
+        return cls(
+            jnp.zeros(vshape, jnp.int8),
+            jnp.zeros(sshape, jnp.float32),
+            jnp.zeros(vshape, jnp.int8),
+            jnp.zeros(sshape, jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+
+
 def _proj_init(key, in_dim, out_dim, lora: Optional[MoELoRAConfig], dtype, num_layers):
     ks = jax.random.split(key, num_layers)
     p = {
@@ -153,9 +177,13 @@ def llama_apply(
     B, T, D = inputs_embeds.shape
     x = inputs_embeds
 
+    quant_cache = isinstance(cache, KVCacheQ)
     if cache is None:
         S = T
         offset = jnp.zeros((), jnp.int32)
+    elif quant_cache:
+        S = cache.k_q.shape[3]
+        offset = cache.length
     else:
         S = cache.k.shape[2]
         offset = cache.length
@@ -182,7 +210,7 @@ def llama_apply(
         # layer. Putting it in the ys (stacked outputs) instead would copy
         # the whole (L, B, S, ...) cache to fresh buffers every decode
         # step — measured ~2x decode-step cost at 7B.
-        x, k_cache, v_cache = carry
+        x, *cache_bufs = carry
         layer_params, layer_idx = inputs
         h = rms_norm(layer_params["attn_norm"], x, cfg.rms_norm_eps)
         out = {}
@@ -207,19 +235,63 @@ def llama_apply(
         )
         q, k = _apply_rope(q, k, cos, sin)
 
-        if cache is not None:
+        if quant_cache:
+            from crab_tpu.ops.decode_attention import (
+                decode_attention_int8,
+                quantize_kv,
+            )
+
+            k_qc, k_sc, v_qc, v_sc = cache_bufs
+            # (B, T, Hkv, d) -> cache layout (B, Hkv, T, d)
+            kq_new, ks_new = quantize_kv(k.transpose(0, 2, 1, 3))
+            vq_new, vs_new = quantize_kv(v.transpose(0, 2, 1, 3))
+            k_qc = jax.lax.dynamic_update_slice(
+                k_qc, kq_new[None], (layer_idx, 0, 0, offset, 0)
+            )
+            k_sc = jax.lax.dynamic_update_slice(
+                k_sc, ks_new[None], (layer_idx, 0, 0, offset)
+            )
+            v_qc = jax.lax.dynamic_update_slice(
+                v_qc, vq_new[None], (layer_idx, 0, 0, offset, 0)
+            )
+            v_sc = jax.lax.dynamic_update_slice(
+                v_sc, vs_new[None], (layer_idx, 0, 0, offset)
+            )
+            cache_bufs = [k_qc, k_sc, v_qc, v_sc]
+            if T == 1:
+                # Pallas int8 decode-attention kernel; bias carries both
+                # the left-padding and not-yet-written masking
+                bias = mask[:, 0, 0, :]  # (B, S)
+                attn = decode_attention_int8(
+                    q[:, 0],  # (B, H, d)
+                    jax.lax.dynamic_index_in_dim(k_qc, layer_idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(k_sc, layer_idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(v_qc, layer_idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(v_sc, layer_idx, 0, False),
+                    bias=bias,
+                    interpret=jax.default_backend() == "cpu",
+                )[:, None, :, :].reshape(B, 1, cfg.num_heads * cfg.head_dim)
+            else:
+                # prefill at offset 0: attend over the local (bf16) k/v —
+                # the quantized cache is written for subsequent decode
+                attn = _attention(
+                    q, k, v, mask[..., :T], cfg.num_heads, cfg.num_kv_heads
+                )
+        elif cache is not None:
+            k_cache, v_cache = cache_bufs
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, k[None], (layer_idx, 0, offset, 0, 0)
             )
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, v[None], (layer_idx, 0, offset, 0, 0)
             )
+            cache_bufs = [k_cache, v_cache]
             k_full = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, False)
             v_full = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, False)
+            attn = _attention(q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads)
         else:
-            k_full, v_full = k, v
+            attn = _attention(q, k, v, mask, cfg.num_heads, cfg.num_kv_heads)
 
-        attn = _attention(q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads)
         x = x + _proj(layer_params["o"], attn, lora_cfg)
 
         h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
@@ -227,18 +299,18 @@ def llama_apply(
         up = _proj(layer_params["up"], h, lora_cfg)
         x = x + _proj(layer_params["down"], jax.nn.silu(gate) * up, lora_cfg)
 
-        return (x, k_cache, v_cache), out
+        return (x, *cache_bufs), out
 
-    if cache is not None:
-        k0, v0 = cache.k, cache.v
+    if quant_cache:
+        init_bufs = [cache.k_q, cache.k_s, cache.v_q, cache.v_s]
+    elif cache is not None:
+        init_bufs = [cache.k, cache.v]
     else:
-        # zero-size placeholder keeps the carry structure static
-        k0 = jnp.zeros((0,), x.dtype)
-        v0 = jnp.zeros((0,), x.dtype)
+        init_bufs = []
 
-    (x, k_cache, v_cache), ys = jax.lax.scan(
+    (x, *cache_bufs), ys = jax.lax.scan(
         layer_fn,
-        (x, k0, v0),
+        (x, *init_bufs),
         (params["layers"], jnp.arange(cfg.num_layers)),
     )
 
@@ -246,8 +318,10 @@ def llama_apply(
     logits = (x @ params["lm_head"]).astype(jnp.float32)
 
     new_cache = None
-    if cache is not None:
-        new_cache = KVCache(k_cache, v_cache, offset + T)
+    if quant_cache:
+        new_cache = KVCacheQ(*cache_bufs, offset + T)
+    elif cache is not None:
+        new_cache = KVCache(*cache_bufs, offset + T)
     telemetry = (
         {"q_route_mean": ys["q_route_mean"]}
         if collect_routes and isinstance(ys, dict) and "q_route_mean" in ys

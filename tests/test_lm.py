@@ -232,3 +232,32 @@ def test_int8_weight_only_quant(hf_model, params):
     t_ref = generate(params, CFG, jnp.asarray(embeds), mask, pos, 5, 10**6)
     t_q = generate(qparams, CFG, jnp.asarray(embeds), mask, pos, 5, 10**6)
     assert (np.asarray(t_ref.tokens) == np.asarray(t_q.tokens)).mean() > 0.7
+
+
+def test_int8_kv_cache_generate(hf_model, params):
+    """Quantized-KV decode (Pallas kernel, interpret mode on CPU) tracks
+    the bf16-cache path."""
+    import dataclasses
+
+    cfg_q = dataclasses.replace(CFG, kv_quant=True)
+    rng = np.random.default_rng(6)
+    B, T = 2, 10
+    embeds = rng.standard_normal((B, T, 64)).astype(np.float32) * 0.1
+    mask = np.ones((B, T), np.int32)
+    mask[0, :3] = 0  # left padding exercises the bias path
+    pos = np.maximum(np.cumsum(mask, -1) - 1, 0)
+    ref = generate(
+        params, CFG, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=6, eos_id=10**6,
+    )
+    out = generate(
+        params, cfg_q, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=6, eos_id=10**6,
+    )
+    # int8 KV introduces small logit noise; demand strong agreement
+    agree = (np.asarray(out.tokens) == np.asarray(ref.tokens)).mean()
+    assert agree >= 0.75, (out.tokens, ref.tokens)
+    a = np.asarray(out.hidden[:, 1:]).ravel()
+    b = np.asarray(ref.hidden[:, 1:]).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.99, cos

@@ -36,6 +36,11 @@ TINY_DD = {
 def torch_vq():
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    # test_seg stubs this module (SegModule doesn't need it) — evict the
+    # stub so the real implementation loads here
+    mod = sys.modules.get("models.taming_transformer.vqgan")
+    if mod is not None and not hasattr(mod.VQModel, "get_codebook_indices"):
+        del sys.modules["models.taming_transformer.vqgan"]
     torch.manual_seed(3)
     from models.taming_transformer.vqgan import VQModel
 
