@@ -30,32 +30,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref, *, G):
-    # blocks: q/out (1, H, d) full-H (mosaic wants last-two dims full or
-    # (8,128)-aligned); kq/vq (1, 1, S, d); ks/vs (1, Hkv, S); bias (1,1,S).
+def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, out_ref, *, G, Hkv):
+    # one program per batch row; kv heads unrolled statically so every
+    # slice index is compile-time constant (mosaic can't prove dynamic
+    # sublane offsets are tile-aligned when G < 8).
     d = q_ref.shape[2]
     S = kq_ref.shape[2]
-    h = pl.program_id(1)
+    bias = bias_ref[0]  # (1, S)
+    for h in range(Hkv):
+        q = q_ref[0, h * G:(h + 1) * G, :].astype(jnp.float32)  # (G, d)
+        k = kq_ref[0, h].astype(jnp.float32) * ks_ref[0, h].reshape(S, 1)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (G, S)
+        logits = logits * (d**-0.5) + bias
 
-    q = q_ref[0, pl.ds(h * G, G), :].astype(jnp.float32)  # (G, d)
-    k_scale = ks_ref[0, h, :].reshape(S, 1)
-    k = kq_ref[0, 0].astype(jnp.float32) * k_scale  # (S, d)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (G, S)
-    logits = logits * (d**-0.5)
-    logits = logits + bias_ref[0]  # (1, S) broadcast over G
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-
-    v_scale = vs_ref[0, h, :].reshape(S, 1)
-    v = vq_ref[0, 0].astype(jnp.float32) * v_scale  # (S, d)
-    out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (G, d)
-    out_ref[0, pl.ds(h * G, G), :] = out.astype(out_ref.dtype)
+        v = vq_ref[0, h].astype(jnp.float32) * vs_ref[0, h].reshape(S, 1)
+        out = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (G, d)
+        out_ref[0, h * G:(h + 1) * G, :] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -81,17 +79,17 @@ def decode_attention_int8(
     bias = bias.astype(jnp.float32).reshape(B, 1, S)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, G=G),
-        grid=(B, Hkv),
+        functools.partial(_kernel, G=G, Hkv=Hkv),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, H, d), lambda b, h: (b, 0, 0)),
-            pl.BlockSpec((1, 1, S, d), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, Hkv, S), lambda b, h: (b, 0, 0)),
-            pl.BlockSpec((1, 1, S, d), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, Hkv, S), lambda b, h: (b, 0, 0)),
-            pl.BlockSpec((1, 1, S), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, H, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, S, d), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, S), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, S, d), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, S), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H, d), lambda b, h: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, H, d), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, d), q.dtype),
         interpret=interpret,
     )(q, k_q, k_s, v_q, v_s, bias)

@@ -71,8 +71,7 @@ class InferenceEngine:
         self.pad_id = pad_id
         self.seq_bucket = seq_bucket
         self._dtype = jnp.dtype(cfg.compute_dtype)
-        self._gen_fn = {}
-        self._avs_fn = {}
+        self._programs = {}
 
     # ------------------------------------------------------------------
     # host side: prompt building
@@ -184,13 +183,13 @@ class InferenceEngine:
 
     def _program_for(self, media_keys, avs, task_head):
         key = (media_keys, avs, task_head)
-        if key not in self._gen_fn:
-            self._gen_fn[key] = (
+        if key not in self._programs:
+            self._programs[key] = (
                 self._make_encode(avs),
                 self._make_generate(),
                 self._make_seg(task_head) if avs else None,
             )
-        return self._gen_fn[key]
+        return self._programs[key]
 
     # ------------------------------------------------------------------
     # public API

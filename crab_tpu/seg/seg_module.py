@@ -60,7 +60,6 @@ def layer_norm_2d(p, x, eps: float = 1e-6):
 def _conv_init(key, out_c, in_c, kh, kw, use_bias=True, dtype=jnp.float32):
     # torch conv default init: kaiming_uniform(a=sqrt(5)) on (O, I, kh, kw)
     fan_in = in_c * kh * kw
-    bound = math.sqrt(6.0 / ((1 + 5) / 2.0 * fan_in)) if fan_in > 0 else 0
     gain = math.sqrt(2.0 / (1.0 + 5.0))
     bound = gain * math.sqrt(3.0 / fan_in)
     p = {
@@ -332,7 +331,7 @@ def _two_way(p, queries, keys, query_pe, key_pe, num_heads):
     return queries, keys
 
 
-def _mlp3(p, x, relu_last=False):
+def _mlp3(p, x):
     x = jax.nn.relu(linear(p["fc1"], x))
     x = jax.nn.relu(linear(p["fc2"], x))
     return linear(p["fc3"], x)
