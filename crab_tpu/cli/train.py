@@ -151,6 +151,17 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     log_fp = open(os.path.join(args.out, "train_log.jsonl"), "a")
 
+    # preemption-safe: checkpoint full state (incl. optimizer) on SIGTERM —
+    # the reference loses optimizer state on any interruption (SURVEY §5)
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
     global_step = int(state.step)
     for epoch in range(args.epochs):
         for batch in task_batches(dataset, collator, args.batch_size):
@@ -174,6 +185,11 @@ def main(argv=None):
                 log_fp.write(json.dumps(m) + "\n")
                 log_fp.flush()
                 print(f"step {global_step}: {m}")
+            if preempted["flag"]:
+                path = os.path.join(args.out, f"ckpt_preempt_{global_step}")
+                ckpt.save_state(path, state)
+                print(f"SIGTERM: state saved to {path}; exiting")
+                return
             if global_step % args.save_every == 0:
                 ckpt.save_state(os.path.join(args.out, f"ckpt_{global_step}"), state)
         # end of epoch: full checkpoint + reference-style delta

@@ -197,6 +197,29 @@ class InferenceEngine:
 
     def run(self, task_name: str, samples: List[Dict]) -> EngineOutput:
         """Run one batch of same-task samples end to end."""
+        return self._finalize(self._dispatch(task_name, samples))
+
+    def run_stream(self, task_name: str, batches) -> List[EngineOutput]:
+        """Pipelined execution over many batches.
+
+        jax dispatch is async, so building + uploading batch i+1 overlaps
+        with the device executing batch i — this hides the host media
+        stacking and H2D transfer (~0.4 s/batch through this relay) that a
+        synchronous loop pays on the critical path.
+        """
+        outs: List[EngineOutput] = []
+        pending = None
+        for samples in batches:
+            handles = self._dispatch(task_name, samples)
+            if pending is not None:
+                outs.append(self._finalize(pending))
+            pending = handles
+        if pending is not None:
+            outs.append(self._finalize(pending))
+        return outs
+
+    def _dispatch(self, task_name: str, samples: List[Dict]):
+        """Host work + async device dispatch; no synchronization."""
         task = TASKS[task_name]
         specs, medias = [], []
         for s in samples:
@@ -231,6 +254,11 @@ class InferenceEngine:
         masks = found = None
         if task.is_avs and seg_fn is not None:
             masks, found = seg_fn(self.params["seg"], res.tokens, res.hidden, seg_taps)
+        return res, masks, found
+
+    def _finalize(self, handles) -> EngineOutput:
+        """Fetch results (synchronizes on the dispatched computation)."""
+        res, masks, found = handles
         tokens = np.asarray(res.tokens)
         texts = [self._decode(row) for row in tokens]
         return EngineOutput(

@@ -128,3 +128,17 @@ def test_route_telemetry(engine, monkeypatch):
     assert routes.shape == (L, E)
     # rows are softmax distributions
     np.testing.assert_allclose(routes.sum(-1), np.ones(L), rtol=1e-4)
+
+
+def test_run_stream_matches_run(engine, monkeypatch):
+    from crab_tpu.tasks import registry
+
+    task = _tiny_av_task("tiny-stream")
+    monkeypatch.setitem(registry.TASKS, "tiny-stream", task)
+    rng = np.random.default_rng(4)
+    batches = [[{"media": _media(rng)}] for _ in range(3)]
+    outs = engine.run_stream("tiny-stream", batches)
+    assert len(outs) == 3
+    for samples, out in zip(batches, outs):
+        ref = engine.run("tiny-stream", samples)
+        np.testing.assert_array_equal(out.tokens, ref.tokens)
