@@ -1,0 +1,129 @@
+"""Full-split evaluation CLI — the analogue of
+``scripts/finetune/inference_hyper_lora.py``.
+
+Iterates a test annotation file for one task, runs batched (streamed)
+inference, dumps JSONL records, accumulates online mask metrics for the
+AVS family, and prints a final summary via the offline scorers.
+
+Annotation schema matches docs/TRAINING.md (explicit media paths per
+record; avqa records carry question/answer/question_type, ref-avs carry
+exp, AVS tasks carry mask_path...).
+
+Usage:
+  python -m crab_tpu.cli.evaluate --task avqa --annotations ann/avqa_test.json \
+      [--llama DIR --clip DIR --beats F.pt --tokenizer DIR --delta F.bin] \
+      [--random-init --tiny] --out eval_avqa --batch-size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", required=True)
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--llama", default="")
+    p.add_argument("--clip", default="")
+    p.add_argument("--beats", default="")
+    p.add_argument("--tokenizer", default="")
+    p.add_argument("--delta", default="")
+    p.add_argument("--avs-delta", default="")
+    p.add_argument("--out", required=True)
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--limit", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from crab_tpu.core.config import crab_7b, crab_tiny
+    from crab_tpu.fusion.tokens import SpecialTokens
+    from crab_tpu.runtime.engine import InferenceEngine
+    from crab_tpu.tasks import metrics as M
+    from crab_tpu.tasks.registry import TASKS
+    from crab_tpu.cli.quick_start import build_params, build_tokenizer
+    from crab_tpu.cli import score as scorer
+
+    task = TASKS[args.task]
+    cfg = crab_tiny() if args.tiny else crab_7b()
+    special = SpecialTokens(base_vocab=400 if args.tiny else 32000)
+    params = build_params(args, cfg)
+    engine = InferenceEngine(cfg, params, build_tokenizer(args, special), special, eos_id=2)
+
+    with open(args.annotations) as f:
+        records: List[Dict] = json.load(f)
+    if args.limit:
+        records = records[: args.limit]
+    # AVS tasks run batch 1 in the reference (inference_hyper_lora.py:1477);
+    # we batch them too, but keep batches task-homogeneous by construction
+    B = args.batch_size
+    batches = [records[i: i + B] for i in range(0, len(records), B)]
+
+    os.makedirs(args.out, exist_ok=True)
+    mask_dir = os.path.join(args.out, "pred_masks")
+    if task.is_avs:
+        os.makedirs(mask_dir, exist_ok=True)
+    fp = os.path.join(args.out, "infer_results.jsonl")
+    miou_sum = np.zeros(71)
+    fsc_sum = np.zeros(71)
+    cls_cnt = np.zeros(71)
+    t0 = time.time()
+    with open(fp, "w") as f:
+        for out, batch in zip(engine.run_stream(args.task, batches), batches):
+            for i, rec in enumerate(batch):
+                row = {k: v for k, v in rec.items() if isinstance(v, (str, int, float, list))}
+                row["predict"] = out.texts[i]
+                if task.is_avs and out.masks is not None and rec.get("mask_path"):
+                    logits = out.masks[i]
+                    if logits.shape[-1] != 224:  # tiny-config smoke runs
+                        import cv2
+
+                        logits = np.stack(
+                            [cv2.resize(c, (224, 224)) for c in logits]
+                        )
+                    if task.avss_head:
+                        from crab_tpu.media.masks import load_avss_label_mask
+
+                        gt = load_avss_label_mask(rec["mask_path"])
+                        mi, fs, cc, _ = M.calc_color_miou_fscore(logits[None], gt)
+                        miou_sum += mi
+                        fsc_sum += fs
+                        cls_cnt += cc
+                    else:
+                        from crab_tpu.media.masks import load_binary_mask
+
+                        gt = load_binary_mask(rec["mask_path"])
+                        row["miou"] = M.mask_iou(logits[:1], gt)
+                        row["fscore"] = M.eval_fmeasure(logits[:1], gt)
+                        if args.task == "ref-avs" and rec.get("null", False):
+                            row["null_s"] = M.metric_s_for_null(logits[:1])
+                    from crab_tpu.media.masks import save_mask_png
+
+                    name = f"{len(os.listdir(mask_dir)):06d}.png"
+                    save_mask_png(logits, os.path.join(mask_dir, name), task.avss_head)
+                    row["pred_mask"] = name
+                f.write(json.dumps(row) + "\n")
+    wall = time.time() - t0
+    print(f"{len(records)} samples in {wall:.1f}s "
+          f"({len(records)/max(wall,1e-9):.2f} clips/s)")
+
+    summary: Dict = {"task": args.task, "n": len(records), "clips_per_s": len(records)/max(wall, 1e-9)}
+    if task.avss_head:
+        summary.update(M.avss_summarize(miou_sum, fsc_sum, cls_cnt))
+    elif args.task in scorer.SCORERS:
+        summary.update(scorer.SCORERS[args.task](scorer._load(fp)))
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary, indent=1))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,23 @@ def load_binary_mask(path: str, size: int = 224) -> np.ndarray:
     return gt[None].astype(np.float32)
 
 
+def save_mask_png(pred_logits: np.ndarray, path: str, avss: bool = False):
+    """Save a predicted mask as PNG (``avss_utils.py:281-341`` analogue).
+
+    binary: sigmoid>0.5 as 0/255 grayscale; avss: argmax class -> palette
+    color.
+    """
+    from PIL import Image
+
+    if avss:
+        labels = pred_logits.argmax(axis=0).astype(np.int64)  # (H, W)
+        rgb = avs_palette()[labels]
+        Image.fromarray(rgb, "RGB").save(path)
+    else:
+        m = (1.0 / (1.0 + np.exp(-pred_logits[0])) > 0.5).astype(np.uint8) * 255
+        Image.fromarray(m, "L").save(path)
+
+
 def load_avss_label_mask(path: str, size: int = 224) -> np.ndarray:
     """AVSS GT: RGB palette mask, nearest resize, -> int64 (1, size, size)."""
     from PIL import Image
