@@ -29,7 +29,7 @@ import numpy as np
 A100_BASELINE_CLIPS_PER_SEC = 0.25  # analytic estimate, see docstring
 MAX_NEW_TOKENS = 64
 DECODE_DTYPE = "bfloat16"
-BATCH = int(os.environ.get("CRAB_BENCH_BATCH", "4"))  # reference NTP batch is 8
+BATCH = int(os.environ.get("CRAB_BENCH_BATCH", "8"))  # reference NTP batch is 8
 
 
 def main():
@@ -63,31 +63,34 @@ def main():
     special = SpecialTokens(base_vocab=32000)
 
     t0 = time.time()
-    # init directly in bf16 on device (fp32 would not fit in 16 GB HBM),
-    # then int8-quantize the decoder weights: bf16 7B + KV cache + encoders
-    # exceeds the ~15 GiB usable HBM of one v5e chip (measured); int8
-    # weight-only is the single-chip serving configuration.
-    from crab_tpu.core.config import crab_tiny
+    # encoders in bf16, decoder directly in int8: bf16 7B weights + KV
+    # cache + encoders exceed the ~15 GiB usable HBM of one v5e chip
+    # (measured); int8 weight-only is the single-chip serving config.
     from crab_tpu.lm.quant import init_llama_int8
     from crab_tpu.encoders.beats import init_beats
     from crab_tpu.encoders.clip_vit import init_clip_vit
     from crab_tpu.encoders.projectors import init_projector
 
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 5)
-    params = {
-        "vision": init_clip_vit(ks[0], cfg.vision, jnp.bfloat16),
-        "audio": init_beats(ks[1], cfg.audio, jnp.bfloat16),
-        "vl_projector": init_projector(
-            ks[2], cfg.vl_projector, cfg.decoder.hidden_size, jnp.bfloat16
-        ),
-        "al_projector": init_projector(
-            ks[3], cfg.al_projector, cfg.decoder.hidden_size, jnp.bfloat16
-        ),
-        "decoder": init_llama_int8(ks[4], cfg.decoder),
-        "seg": None,  # AVQA path doesn't touch the seg head
-    }
-    params.pop("seg")
+    # one jitted init program: ~1000 individual random-init dispatches
+    # through the device relay cost 60-130 s; a single compiled (and
+    # persistently cached) program takes seconds.
+    @jax.jit
+    def init_all(key):
+        ks = jax.random.split(key, 5)
+        return {
+            "vision": init_clip_vit(ks[0], cfg.vision, jnp.bfloat16),
+            "audio": init_beats(ks[1], cfg.audio, jnp.bfloat16),
+            "vl_projector": init_projector(
+                ks[2], cfg.vl_projector, cfg.decoder.hidden_size, jnp.bfloat16
+            ),
+            "al_projector": init_projector(
+                ks[3], cfg.al_projector, cfg.decoder.hidden_size, jnp.bfloat16
+            ),
+            # AVQA path doesn't touch the seg head
+            "decoder": init_llama_int8(ks[4], cfg.decoder),
+        }
+
+    params = init_all(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr)
 

@@ -53,6 +53,25 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multislice_mesh(
+    dcn_data: int, data: int, model: int = 1
+) -> Mesh:
+    """Hybrid mesh for multi-slice training: a ('dcn', 'data', 'model')
+    mesh where the leading axis crosses slice boundaries (DCN) and the
+    inner axes stay on ICI. Shard only data-parallel gradient reduction
+    over 'dcn'; keep tensor parallelism on 'model' (ICI).
+
+    Requires jax.distributed.initialize() across hosts first.
+    """
+    from jax.experimental import mesh_utils
+
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(data, model),
+        dcn_mesh_shape=(dcn_data, 1),
+    )
+    return Mesh(devices.reshape(dcn_data, data, model), ("dcn", DATA_AXIS, MODEL_AXIS))
+
+
 def local_mesh() -> Mesh:
     """Single-device mesh (inference on one chip)."""
     return make_mesh(MeshSpec(1, 1), jax.devices()[:1])

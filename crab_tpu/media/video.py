@@ -73,22 +73,22 @@ def load_video_frames(
         sel = [frames_all[i] for i in idxs]
     else:
         idxs = uniform_frame_indices(vlen, num_frames)
+        # seek-based sampling: decoding every frame up to the last index
+        # costs seconds per clip on a single host core
         sel = []
-        want = set(idxs)
-        pos = 0
         last = None
-        max_idx = max(idxs)
-        by_idx = {}
-        while pos <= max_idx:
+        for i in idxs:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, i)
             ok, frame = cap.read()
-            if not ok:
-                break
-            if pos in want:
-                by_idx[pos] = frame
-            last = frame
-            pos += 1
+            if ok:
+                last = frame
+            sel.append(last)
         cap.release()
-        sel = [by_idx.get(i, last) for i in idxs]
+        if sel and sel[0] is None:  # leading seek failures: backfill
+            first = next((f for f in sel if f is not None), None)
+            if first is None:
+                raise IOError(f"no frames decoded from {path}")
+            sel = [f if f is not None else first for f in sel]
     out = []
     for f in sel:
         f = cv2.resize(f, (image_size, image_size), interpolation=cv2.INTER_LINEAR)

@@ -1,0 +1,77 @@
+"""End-to-end CLI tests on the tiny config (real reference assets)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+ASSETS = "/root/reference/assets/example"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ASSETS), reason="reference assets missing"
+)
+
+
+def test_quick_start_cli(tmp_path):
+    from crab_tpu.cli.quick_start import main
+
+    examples = [
+        {
+            "task": "s4",
+            "audio_path": f"{ASSETS}/s4/audio.wav",
+            "image_path": f"{ASSETS}/s4/0.jpg",
+            "mask_path": f"{ASSETS}/s4/0.png",
+        },
+        {
+            "task": "arig",
+            "audio_path": f"{ASSETS}/arig/audio.wav",
+            "image_path": f"{ASSETS}/arig/1.jpg",
+        },
+    ]
+    ex = tmp_path / "examples.json"
+    ex.write_text(json.dumps(examples))
+    out = tmp_path / "out"
+    main(["--examples", str(ex), "--random-init", "--tiny", "--out", str(out)])
+    rows = [json.loads(l) for l in open(out / "results.jsonl")]
+    assert [r["task"] for r in rows] == ["s4", "arig"]
+    assert "miou" in rows[0] and "fscore" in rows[0]
+    assert rows[1]["predict"] != ""
+    assert (out / "s4_mask.npy").exists()
+
+
+def test_evaluate_cli(tmp_path):
+    from crab_tpu.cli.evaluate import main
+
+    ann = [
+        {
+            "audio_path": f"{ASSETS}/ms3/audio.wav",
+            "image_path": f"{ASSETS}/ms3/1.jpg",
+            "mask_path": f"{ASSETS}/ms3/1.png",
+            "vid": "clip0",
+        }
+    ] * 2
+    annp = tmp_path / "ms3.json"
+    annp.write_text(json.dumps(ann))
+    out = tmp_path / "eval"
+    summary = main(
+        ["--task", "ms3", "--annotations", str(annp), "--random-init", "--tiny",
+         "--out", str(out), "--batch-size", "2"]
+    )
+    assert summary["n"] == 2
+    assert "miou" in summary
+    rows = [json.loads(l) for l in open(out / "infer_results.jsonl")]
+    assert len(rows) == 2 and "fscore" in rows[0]
+    assert len(os.listdir(out / "pred_masks")) == 2
+
+
+def test_video_decode_seek():
+    from crab_tpu.media.video import load_video_frames
+
+    mp4 = f"{ASSETS}/avvp/6aV6c8mY0lg.mp4"
+    if not os.path.exists(mp4):
+        pytest.skip("mp4 missing")
+    frames = load_video_frames(mp4, 10, 224)
+    assert frames.shape == (10, 224, 224, 3)
+    # frames differ over time (seek actually moved)
+    assert float(frames.astype(np.float32).std(axis=0).mean()) > 1.0

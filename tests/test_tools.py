@@ -78,3 +78,29 @@ def test_router_analysis_and_diag():
     assert "x" in timer.summary()
     bad = nan_guard({"a": np.ones(3), "b": np.array([np.nan])}, raise_on_nan=False)
     assert bad == ["b"]
+
+
+def test_prefetch_loader_order_and_errors():
+    import time
+
+    from crab_tpu.runtime.loader import PrefetchLoader, batched
+
+    def slow_sq(x):
+        time.sleep(0.01 * (x % 3))
+        return x * x
+
+    out = list(PrefetchLoader(slow_sq, list(range(20)), depth=4, workers=3))
+    assert out == [i * i for i in range(20)]
+
+    def boom(x):
+        if x == 3:
+            raise ValueError("boom")
+        return x
+
+    with pytest.raises(ValueError, match="boom"):
+        list(PrefetchLoader(boom, list(range(6)), depth=2, workers=2))
+
+    assert batched([1, 2, 3, 4, 5], 2) == [[1, 2], [3, 4], [5]]
+
+
+import pytest  # noqa: E402
