@@ -142,3 +142,31 @@ def test_run_stream_matches_run(engine, monkeypatch):
     for samples, out in zip(batches, outs):
         ref = engine.run("tiny-stream", samples)
         np.testing.assert_array_equal(out.tokens, ref.tokens)
+
+
+def test_server_dynamic_batching(engine, monkeypatch):
+    from crab_tpu.runtime.server import CrabServer
+    from crab_tpu.tasks import registry
+
+    task = _tiny_av_task("tiny-srv")
+    monkeypatch.setitem(registry.TASKS, "tiny-srv", task)
+    rng = np.random.default_rng(5)
+    server = CrabServer(engine, max_batch=2, max_wait_ms=20)
+    try:
+        futs = [server.submit("tiny-srv", {"media": _media(rng)}) for _ in range(5)]
+        results = [f.result(timeout=300) for f in futs]
+    finally:
+        server.shutdown(drain=False)
+    assert len(results) == 5
+    for r in results:
+        assert r.tokens.shape == (8,)
+        assert r.latency_s >= 0
+    # determinism: same media resubmitted gives identical tokens
+    m = {"media": _media(np.random.default_rng(6))}
+    server2 = CrabServer(engine, max_batch=1, max_wait_ms=1)
+    try:
+        a = server2.submit("tiny-srv", m).result(timeout=300)
+        b = server2.submit("tiny-srv", m).result(timeout=300)
+    finally:
+        server2.shutdown(drain=False)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
