@@ -261,3 +261,26 @@ def test_int8_kv_cache_generate(hf_model, params):
     b = np.asarray(ref.hidden[:, 1:]).ravel()
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
     assert cos > 0.99, cos
+
+
+def test_init_llama_int8_structure_and_generate():
+    from crab_tpu.lm.quant import init_llama_int8
+
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, lora=MoELoRAConfig(rank=4, alpha=8, num_experts=2))
+    params = init_llama_int8(jax.random.PRNGKey(0), cfg, jnp.float32)
+    assert params["layers"]["q"]["w_q"].dtype == jnp.int8
+    assert params["layers"]["q"]["w_q"].shape == (3, 64, 64)
+    assert params["layers"]["down"]["w_q"].shape == (3, 128, 64)
+    assert params["layers"]["q"]["lora"]["B"].shape == (3, 2, 4, 64)
+    rng = np.random.default_rng(8)
+    embeds = rng.standard_normal((1, 5, 64)).astype(np.float32) * 0.1
+    mask = np.ones((1, 5), np.int32)
+    pos = np.cumsum(mask, -1) - 1
+    res = generate(
+        params, cfg, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=4, eos_id=10**6,
+    )
+    assert res.tokens.shape == (1, 4)
+    assert np.isfinite(np.asarray(res.hidden)).all()
