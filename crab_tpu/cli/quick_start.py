@@ -18,8 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +29,6 @@ from crab_tpu.core.layers import (
     linear,
     linear_init,
     normal_init,
-    xavier_uniform,
 )
 
 _ALPHA = 32.0  # fairseq/BEATs attention rescale constant

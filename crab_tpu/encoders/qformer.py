@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from crab_tpu.core.config import ProjectorConfig
 from crab_tpu.core.layers import (
-    embedding_init,
     gelu,
     layer_norm,
     layer_norm_init,

@@ -16,7 +16,7 @@ reference exactly (``unified_arch.py:338-372``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp

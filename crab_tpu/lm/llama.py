@@ -17,7 +17,6 @@ replicated per 'data' shard.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

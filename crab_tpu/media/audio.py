@@ -12,7 +12,7 @@ numpy WAV/resample path; this module transparently uses it if present.
 from __future__ import annotations
 
 import wave
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ device fused into the ViT's first matmul.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np

@@ -15,16 +15,15 @@ building (``fusion.splice``), metric accumulation.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Protocol, Sequence, Tuple
+from typing import Dict, List, Optional, Protocol, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from crab_tpu.core.config import CrabConfig
-from crab_tpu.fusion.splice import SampleSpec, SpliceBatch, build_splice_batch, splice_embeds
+from crab_tpu.fusion.splice import SampleSpec, build_splice_batch
 from crab_tpu.fusion.tokens import SpecialTokens
 from crab_tpu.lm.generate import GenerateResult, capture_mask_hidden, generate
 from crab_tpu.runtime.model import encode_audio, encode_video

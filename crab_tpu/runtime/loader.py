@@ -10,9 +10,8 @@ waits on IO.
 
 from __future__ import annotations
 
-import queue
 import threading
-from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import Callable, Dict, Iterator, List, Sequence
 
 
 class PrefetchLoader:

@@ -11,9 +11,8 @@ All torch.load calls are CPU + weights_only where possible.
 from __future__ import annotations
 
 import glob
-import json
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -24,7 +24,6 @@ from typing import Any, Dict
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from crab_tpu.core.config import CrabConfig
 
 
 def decoder_layer_specs(fsdp: bool = True) -> Dict[str, Any]:

@@ -21,7 +21,7 @@ Differences from the reference, on purpose:
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ A 224x224 mask encodes to 14x14 = 196 codebook indices, shifted by
 from __future__ import annotations
 
 import math
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,7 @@ import numpy as np
 from crab_tpu.fusion.splice import IGNORE_LABEL, SampleSpec, build_splice_batch
 from crab_tpu.fusion.tokens import SpecialTokens
 from crab_tpu.tasks import prompts
-from crab_tpu.tasks.registry import TASKS, TaskSpec
+from crab_tpu.tasks.registry import TASKS
 
 _ORDINAL = {
     1: "first", 2: "second", 3: "third", 4: "fourth", 5: "fifth",
@@ -46,8 +46,20 @@ def _answer(record: Dict, special: SpecialTokens, task: str) -> str:
     mt = special.mask_token_str
     if task == "avqa":
         return record["answer"]
-    if task in ("ave", "avvp"):
+    if task == "ave":
         return record["output"]
+    if task == "avvp":
+        out = record.get("output") or record["label"]
+        # the reference renames the raw tags to event tags
+        # (unified_dataset.py:241-245)
+        for a, b in (
+            ("<audio>", "<audio_event>"),
+            ("</audio>", "</audio_event>"),
+            ("<visual>", "<visual_event>"),
+            ("</visual>", "</visual_event>"),
+        ):
+            out = out.replace(a, b)
+        return out
     if task == "avcap":
         return record["caption"]
     if task == "arig":

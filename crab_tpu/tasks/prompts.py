@@ -7,8 +7,6 @@ Templates are byte-identical to the reference's dataset builders
 
 from __future__ import annotations
 
-from typing import Optional
-
 SYSTEM_PROMPT = "You are a helpful assistant."
 
 VIDEO_SPAN = "<video_start><video><video_end>"

@@ -9,7 +9,7 @@ lives in the model code.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict
 
 import numpy as np
 
