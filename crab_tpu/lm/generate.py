@@ -16,7 +16,7 @@ hidden[j+1]; ``capture_mask_hidden`` applies that shift.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,7 @@ class _State(NamedTuple):
     tokens: jnp.ndarray  # (B, max_new)
     hidden: jnp.ndarray  # (B, max_new, D)
     finished: jnp.ndarray  # (B,) bool
+    key: jnp.ndarray  # PRNG key (sampling)
 
 
 def generate(
@@ -52,8 +53,24 @@ def generate(
     max_new_tokens: int,
     eos_id: int,
     pad_id: int = 0,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    rng: Optional[jnp.ndarray] = None,
 ) -> GenerateResult:
+    """temperature <= 0 -> greedy (the reference's default); otherwise
+    temperature sampling, optionally top-k-truncated."""
     B, T, D = inputs_embeds.shape
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def select(logits, key):
+        if temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits.astype(jnp.float32) / temperature
+        if top_k > 0:
+            kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
+            scaled = jnp.where(scaled < kth, -1e9, scaled)
+        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     S = T + max_new_tokens
     dtype = inputs_embeds.dtype
 
@@ -70,7 +87,8 @@ def generate(
         cache=cache,
     )
     last_logits = logits[:, -1]  # (B, V)
-    tok0 = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+    rng, k0 = jax.random.split(rng)
+    tok0 = select(last_logits, k0)
 
     tokens0 = jnp.full((B, max_new_tokens), pad_id, jnp.int32).at[:, 0].set(tok0)
     hidden0 = jnp.zeros((B, max_new_tokens, D), dtype)
@@ -89,7 +107,8 @@ def generate(
             position_ids=s.pos[:, None],
             cache=s.cache,
         )
-        tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        key, sub = jax.random.split(s.key)
+        tok = select(logits[:, -1], sub)
         emit = jnp.where(s.finished, pad_id, tok)
         tokens = jax.lax.dynamic_update_slice(s.tokens, emit[:, None], (0, s.step + 1))
         # hid[:, -1] is the hidden that processed s.tok (= token s.step) and
@@ -106,6 +125,7 @@ def generate(
             tokens=tokens,
             hidden=hidden,
             finished=s.finished | (tok == eos_id),
+            key=key,
         )
 
     init = _State(
@@ -117,6 +137,7 @@ def generate(
         tokens=tokens0,
         hidden=hidden0,
         finished=tok0 == eos_id,
+        key=rng,
     )
     final = jax.lax.while_loop(
         lambda s: (s.step < max_new_tokens - 1) & ~jnp.all(s.finished), body, init

@@ -284,3 +284,28 @@ def test_init_llama_int8_structure_and_generate():
     )
     assert res.tokens.shape == (1, 4)
     assert np.isfinite(np.asarray(res.hidden)).all()
+
+
+def test_sampling_generate(params):
+    rng = np.random.default_rng(9)
+    embeds = rng.standard_normal((1, 6, 64)).astype(np.float32) * 0.1
+    mask = jnp.ones((1, 6), jnp.int32)
+    pos = jnp.cumsum(mask, -1) - 1
+    greedy = generate(params, CFG, jnp.asarray(embeds), mask, pos, 6, 10**6)
+    g2 = generate(params, CFG, jnp.asarray(embeds), mask, pos, 6, 10**6,
+                  temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(greedy.tokens), np.asarray(g2.tokens))
+    # high temperature with different keys gives different sequences
+    s1 = generate(params, CFG, jnp.asarray(embeds), mask, pos, 6, 10**6,
+                  temperature=5.0, rng=jax.random.PRNGKey(1))
+    s2 = generate(params, CFG, jnp.asarray(embeds), mask, pos, 6, 10**6,
+                  temperature=5.0, rng=jax.random.PRNGKey(2))
+    assert not np.array_equal(np.asarray(s1.tokens), np.asarray(s2.tokens))
+    # same key reproduces
+    s3 = generate(params, CFG, jnp.asarray(embeds), mask, pos, 6, 10**6,
+                  temperature=5.0, rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(s1.tokens), np.asarray(s3.tokens))
+    # top-k=1 equals greedy regardless of temperature
+    tk = generate(params, CFG, jnp.asarray(embeds), mask, pos, 6, 10**6,
+                  temperature=1.0, top_k=1, rng=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(tk.tokens), np.asarray(greedy.tokens))
