@@ -38,8 +38,6 @@ def init_llama_int8(key, cfg, dtype=jnp.bfloat16) -> Dict:
     real checkpoints should start int8 from the outset. Real checkpoints
     quantize on host (numpy) layer by layer instead.
     """
-    import numpy as _np
-
     from crab_tpu.core.layers import normal_init, rms_norm_init
     from crab_tpu.lm.lora import init_moe_lora
 
