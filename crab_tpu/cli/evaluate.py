@@ -38,6 +38,8 @@ def main(argv=None):
     p.add_argument("--avs-delta", default="")
     p.add_argument("--out", required=True)
     p.add_argument("--random-init", action="store_true")
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--kv-quant", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--limit", type=int, default=0)
@@ -53,6 +55,10 @@ def main(argv=None):
 
     task = TASKS[args.task]
     cfg = crab_tiny() if args.tiny else crab_7b()
+    if args.kv_quant:
+        import dataclasses
+
+        cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, kv_quant=True))
     special = SpecialTokens(base_vocab=400 if args.tiny else 32000)
     params = build_params(args, cfg)
     engine = InferenceEngine(cfg, params, build_tokenizer(args, special), special, eos_id=2)

@@ -43,6 +43,10 @@ def build_params(args, cfg):
         params = loading.apply_reference_delta(params, args.delta, cfg)
     if args.avs_delta:
         params = loading.apply_reference_delta(params, args.avs_delta, cfg)
+    if getattr(args, "int8", False):
+        from crab_tpu.lm.quant import quantize_decoder_host
+
+        params["decoder"] = quantize_decoder_host(params["decoder"])
     return params
 
 
@@ -89,6 +93,10 @@ def main(argv=None):
     p.add_argument("--avs-delta", default="", help="AVS stage-3 delta")
     p.add_argument("--out", default="quick_start_out")
     p.add_argument("--random-init", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder (single-chip serving)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (Pallas decode attention)")
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke test)")
     p.add_argument("--max-new-tokens", type=int, default=0, help="override")
     args = p.parse_args(argv)
@@ -100,6 +108,10 @@ def main(argv=None):
     from crab_tpu.tasks.registry import TASKS
 
     cfg = crab_tiny() if args.tiny else crab_7b()
+    if args.kv_quant:
+        import dataclasses
+
+        cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, kv_quant=True))
     base_vocab = 400 if args.tiny else 32000
     special = SpecialTokens(base_vocab=base_vocab)
     params = build_params(args, cfg)

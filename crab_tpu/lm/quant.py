@@ -78,6 +78,30 @@ def init_llama_int8(key, cfg, dtype=jnp.bfloat16) -> Dict:
     }
 
 
+def quantize_decoder_host(decoder_params: Dict, keys=QUANT_KEYS) -> Dict:
+    """Host (numpy) per-projection quantization for real checkpoints.
+
+    Runs one stacked weight at a time on the CPU, so the device never
+    holds the bf16 and int8 copies simultaneously (quantizing a fully
+    materialized 7B on-device needs ~2x transient HBM).
+    """
+    import numpy as np
+
+    out = dict(decoder_params)
+    layers = dict(out["layers"])
+    for k in keys:
+        p = dict(layers[k])
+        w = np.asarray(jax.device_get(p.pop("w")), np.float32)
+        amax = np.abs(w).max(axis=-2, keepdims=True)
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        p["w_q"] = jnp.asarray(q)
+        p["w_s"] = jnp.asarray(scale)
+        layers[k] = p
+    out["layers"] = layers
+    return out
+
+
 def quantize_decoder(decoder_params: Dict, keys=QUANT_KEYS) -> Dict:
     """Replace 'w' with ('w_q', 'w_s') for the chosen projections.
 
