@@ -158,7 +158,13 @@ def vqgan_decode_code(params, indices, hw: Tuple[int, int]) -> jnp.ndarray:
 
 
 class MaskTokenizer:
-    """mask <-> LLM-token route (``MaskEncoder``, token_shift=32020)."""
+    """mask <-> LLM-token route (``MaskEncoder``, token_shift=32020).
+
+    With ``use_vqgan`` the reference splices codebook indices (shifted
+    into the extended vocabulary) into the token stream as *ids*, not
+    features (``unified_arch.py:304-308``); ``expand_ids`` implements
+    that splice on host token sequences.
+    """
 
     def __init__(self, params, token_shift: int = 32020):
         self.params = params
@@ -171,6 +177,20 @@ class MaskTokenizer:
     def decode_mask(self, indices, hw=(14, 14)) -> jnp.ndarray:
         ids = jnp.clip(indices - self.token_shift, 0, N_EMBED - 1)
         return vqgan_decode_code(self.params, ids, hw)
+
+    def expand_ids(self, input_ids, mask_image, placeholder_id: int):
+        """Replace each `placeholder_id` in a 1-D id array with the mask's
+        shifted codebook ids (host-side, feeds fusion.splice as text)."""
+        import numpy as np
+
+        codes = np.asarray(self.encode_mask(mask_image[None])[0])
+        out = []
+        for t in np.asarray(input_ids).tolist():
+            if t == placeholder_id:
+                out.extend(codes.tolist())
+            else:
+                out.append(t)
+        return np.asarray(out, np.int64)
 
 
 # ---------------------------------------------------------------------------

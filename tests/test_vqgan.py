@@ -93,3 +93,16 @@ def test_mask_tokenizer_roundtrip(torch_vq):
     assert int(ids.min()) >= 100
     rec = tok.decode_mask(ids, hw=(16, 16))
     assert rec.shape == (1, 3, 32, 32)
+
+
+def test_expand_ids(torch_vq):
+    params = convert_vqgan(torch_vq.state_dict(), _tiny_cfg())
+    tok = MaskTokenizer(params, token_shift=500)
+    rng = np.random.default_rng(3)
+    mask = ((rng.random((3, 32, 32)) > 0.5) * 2.0 - 1.0).astype(np.float32)
+    ids = np.asarray([1, 2, 999, 3], np.int64)  # 999 = <mask> placeholder
+    out = tok.expand_ids(ids, jnp.asarray(mask), 999)
+    n_codes = 16 * 16  # 32/2(levels-1 downsample... f2 here) -> 16x16
+    assert len(out) == 3 + n_codes
+    assert out[0] == 1 and out[-1] == 3
+    assert (out[2:-1] >= 500).all()
