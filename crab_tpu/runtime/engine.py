@@ -60,8 +60,15 @@ class InferenceEngine:
         eos_id: int = 2,
         pad_id: int = 0,
         seq_bucket: int = 64,
+        mesh=None,
     ):
         self.cfg = cfg
+        if mesh is not None and mesh.size > 1:
+            # multi-chip serving: shard the decoder TP over 'model' and
+            # FSDP over 'data'; pjit propagates through all programs
+            from crab_tpu.runtime.sharding import shard_crab_params
+
+            params = shard_crab_params(params, mesh)
         self.params = params
         self.tokenizer = tokenizer
         self.special = special

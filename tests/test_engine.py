@@ -170,3 +170,26 @@ def test_server_dynamic_batching(engine, monkeypatch):
     finally:
         server2.shutdown(drain=False)
     np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_engine_sharded_mesh(monkeypatch):
+    """Engine with a DP+TP mesh produces the same tokens as single-device."""
+    import jax as _jax
+
+    from crab_tpu.core.mesh import MeshSpec, make_mesh
+    from crab_tpu.runtime.model import init_crab
+    from crab_tpu.tasks import registry
+
+    task = _tiny_av_task("tiny-mesh")
+    monkeypatch.setitem(registry.TASKS, "tiny-mesh", task)
+    params = init_crab(_jax.random.PRNGKey(0), CFG)
+    base = InferenceEngine(CFG, params, StubTokenizer(SPECIAL), SPECIAL, eos_id=399)
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    sharded = InferenceEngine(
+        CFG, params, StubTokenizer(SPECIAL), SPECIAL, eos_id=399, mesh=mesh
+    )
+    rng = np.random.default_rng(7)
+    samples = [{"media": _media(rng)} for _ in range(2)]
+    a = base.run("tiny-mesh", samples)
+    b = sharded.run("tiny-mesh", samples)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
