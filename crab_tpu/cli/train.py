@@ -141,7 +141,7 @@ def main(argv=None):
         f.write(f"\ntrainable {trainable} / total {total} "
                 f"({100.0 * trainable / max(total,1):.3f}%)\n")
     print(f"trainable params: {trainable:,} / {total:,}")
-    state = init_train_state(params, optimizer)
+    state = init_train_state(params, optimizer, trainable=mask)
     if args.resume:
         state = ckpt.restore_state(args.resume, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
@@ -172,7 +172,9 @@ def main(argv=None):
             key = (is_avs, avss)
             if key not in steps:
                 steps[key] = jax.jit(
-                    make_train_step(cfg, optimizer, avs=is_avs, avss_head=avss)
+                    make_train_step(
+                        cfg, optimizer, avs=is_avs, avss_head=avss, trainable=mask
+                    )
                 )
             batch = _fit_batch_media(batch, cfg)
             batch = jax.tree_util.tree_map(jnp.asarray, batch)

@@ -166,6 +166,7 @@ def llama_apply(
     position_ids: Optional[jnp.ndarray] = None,  # (B, T)
     cache: Optional[KVCache] = None,
     collect_routes: bool = False,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[KVCache], Optional[dict]]:
     """Returns (logits fp32, last_hidden, new_cache, route_telemetry).
 
@@ -307,8 +308,13 @@ def llama_apply(
     else:
         init_bufs = []
 
+    # rematerialization: recompute layer activations in the backward pass
+    # instead of storing them — at 7B/seq 768 stored activations exceed the
+    # chip's HBM; remat trades ~30% extra forward FLOPs for O(1) layers of
+    # live activations (the reference leans on ZeRO CPU offload instead)
+    body = jax.checkpoint(layer_fn) if remat else layer_fn
     (x, *cache_bufs), ys = jax.lax.scan(
-        layer_fn,
+        body,
         (x, *init_bufs),
         (params["layers"], jnp.arange(cfg.num_layers)),
     )

@@ -76,6 +76,26 @@ def make_optimizer(
 
 
 # ---------------------------------------------------------------------------
+# frozen-parameter splitting: differentiate ONLY the trainable leaves.
+# Taking grad over the full tree would materialize full-model-sized
+# gradient buffers (14 GB at 7B) even though the optimizer discards them.
+# Frozen leaves are replaced by 0-size dummies in the differentiated tree.
+# ---------------------------------------------------------------------------
+
+
+def split_trainable(params: Dict, mask: Dict) -> Dict:
+    return jax.tree_util.tree_map(
+        lambda p, m: p if m else jnp.zeros((0,), p.dtype), params, mask
+    )
+
+
+def merge_trainable(train_tree: Dict, params: Dict, mask: Dict) -> Dict:
+    return jax.tree_util.tree_map(
+        lambda t, p, m: t if m else p, train_tree, params, mask
+    )
+
+
+# ---------------------------------------------------------------------------
 # losses
 # ---------------------------------------------------------------------------
 
@@ -117,8 +137,15 @@ def make_train_step(
     optimizer,
     avs: bool = False,
     avss_head: bool = False,
+    trainable: Dict = None,
 ):
     """Returns a jittable train_step(state, batch) -> (state, metrics).
+
+    With ``trainable`` (a trainable_mask tree), gradients are computed
+    ONLY for the selected leaves — required at 7B scale, where full-tree
+    gradient buffers alone exceed HBM. Without it, the full tree is
+    differentiated (fine for small configs) and the optimizer mask zeroes
+    the frozen updates.
 
     batch (device arrays):
       media: {'audio': (B,T,ns)[, 'video'|'image': (B,T,H,W,3) u8]}
@@ -154,6 +181,7 @@ def make_train_step(
             emb,
             attention_mask=batch["attention_mask"],
             position_ids=batch["position_ids"],
+            remat=True,  # activation recompute: 7B backward fits on-chip
         )
         loss = lm_loss(logits, batch["labels"])
         metrics = {"lm_loss": loss}
@@ -176,15 +204,31 @@ def make_train_step(
         return loss, metrics
 
     def train_step(state: TrainState, batch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
-        )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if trainable is None:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch
+            )
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(state.step + 1, params, opt_state), metrics
+
+        full = state.params
+        train_tree = split_trainable(full, trainable)
+
+        def loss_on_trainable(train_tree, batch):
+            return loss_fn(merge_trainable(train_tree, full, trainable), batch)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_on_trainable, has_aux=True
+        )(train_tree, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, train_tree)
+        new_train = optax.apply_updates(train_tree, updates)
+        params = merge_trainable(new_train, full, trainable)
         return TrainState(state.step + 1, params, opt_state), metrics
 
     return train_step
 
 
-def init_train_state(params: Dict, optimizer) -> TrainState:
-    return TrainState(jnp.zeros((), jnp.int32), params, optimizer.init(params))
+def init_train_state(params: Dict, optimizer, trainable: Dict = None) -> TrainState:
+    target = params if trainable is None else split_trainable(params, trainable)
+    return TrainState(jnp.zeros((), jnp.int32), params, optimizer.init(target))

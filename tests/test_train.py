@@ -179,3 +179,43 @@ def test_trainable_mask_precision():
     assert not mask["audio"]["patch_embedding"]["w"]
     assert not mask["vision"]["position_embedding"]
     assert not mask["vl_projector"]["qformer"]["emb_ln"]["scale"]
+
+
+def test_split_trainable_step_matches_full():
+    """Trainable-only differentiation gives the same update as the full
+    masked step (and allocates no frozen-size gradient buffers)."""
+    from crab_tpu.train.state import merge_trainable, split_trainable
+
+    rng = np.random.default_rng(5)
+    params = init_crab(jax.random.PRNGKey(6), CFG)
+    mask = trainable_mask(params, STAGE_TRAINABLE["finetune"])
+    opt_full = make_optimizer(1e-3, STAGE_TRAINABLE["finetune"], params)
+    step_full = jax.jit(make_train_step(CFG, opt_full))
+    s_full = init_train_state(params, opt_full)
+
+    opt_split = make_optimizer(1e-3, STAGE_TRAINABLE["finetune"], params)
+    step_split = jax.jit(make_train_step(CFG, opt_split, trainable=mask))
+    s_split = init_train_state(params, opt_split, trainable=mask)
+
+    batch = _make_batch(rng)
+    s_full, m_full = step_full(s_full, batch)
+    s_split, m_split = step_split(s_split, batch)
+    np.testing.assert_allclose(float(m_full["loss"]), float(m_split["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_full.params["vl_projector"]["mlp"]["fc1"]["w"]),
+        np.asarray(s_split.params["vl_projector"]["mlp"]["fc1"]["w"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # frozen leaves untouched
+    np.testing.assert_array_equal(
+        np.asarray(params["decoder"]["layers"]["q"]["w"]),
+        np.asarray(s_split.params["decoder"]["layers"]["q"]["w"]),
+    )
+    # roundtrip helpers
+    t = split_trainable(params, mask)
+    assert t["decoder"]["layers"]["q"]["w"].size == 0
+    back = merge_trainable(t, params, mask)
+    np.testing.assert_array_equal(
+        np.asarray(back["decoder"]["layers"]["q"]["w"]),
+        np.asarray(params["decoder"]["layers"]["q"]["w"]),
+    )
