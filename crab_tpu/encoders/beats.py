@@ -117,13 +117,13 @@ def _pos_conv(p, x, cfg: AudioEncoderConfig):
     B, T, D = x.shape
     y = jax.lax.conv_general_dilated(
         x,
-        p["w"],
+        p["w"].astype(x.dtype),
         window_strides=(1,),
         padding=[(cfg.conv_pos // 2, cfg.conv_pos // 2)],
         dimension_numbers=("NTC", "TIO", "NTC"),
         feature_group_count=cfg.conv_pos_groups,
     )
-    y = y + p["b"]
+    y = y + p["b"].astype(y.dtype)
     if cfg.conv_pos % 2 == 0:  # SamePad removes the trailing element
         y = y[:, :T, :]
     return gelu(y)

@@ -76,9 +76,11 @@ def _conv_init(key, out_c, in_c, kh, kw, use_bias=True, dtype=jnp.float32):
 
 
 def _conv2d(p, x, padding=0):
+    # lax.conv requires matching dtypes (jnp matmuls auto-promote); the seg
+    # head runs in the activation dtype regardless of storage dtype
     y = jax.lax.conv_general_dilated(
         x,
-        p["w"],
+        p["w"].astype(x.dtype),
         window_strides=(1, 1),
         padding=[(padding, padding)] * 2,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
@@ -105,10 +107,10 @@ def _deconv2x_init(key, in_c, out_c, dtype=jnp.float32):
 def _deconv2x(p, x):
     """ConvTranspose2d k=2 s=2 as an einsum + pixel shuffle."""
     B, C, H, W = x.shape
-    y = jnp.einsum("bchw,coij->bohiwj", x, p["w"])
+    y = jnp.einsum("bchw,coij->bohiwj", x, p["w"].astype(x.dtype))
     out_c = p["w"].shape[1]
     y = y.reshape(B, out_c, 2 * H, 2 * W)
-    return y + p["b"][None, :, None, None]
+    return y + p["b"].astype(y.dtype)[None, :, None, None]
 
 
 def _bilinear(x, size: Tuple[int, int]):

@@ -57,9 +57,10 @@ def _conv(p, x, stride: int = 1, padding=1):
     if isinstance(padding, int):
         padding = [(padding, padding)] * 2
     y = jax.lax.conv_general_dilated(
-        x, p["w"], (stride, stride), padding, dimension_numbers=("NCHW", "OIHW", "NCHW")
+        x, p["w"].astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    return y + p["b"][None, :, None, None]
+    return y + p["b"].astype(y.dtype)[None, :, None, None]
 
 
 def _resnet_block(p, x):
