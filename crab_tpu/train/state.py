@@ -84,14 +84,22 @@ def make_optimizer(
 
 
 def split_trainable(params: Dict, mask: Dict) -> Dict:
+    # dummies are always float32: grad() rejects integer leaves even at
+    # size 0 (int8 quantized base weights live in the frozen set)
     return jax.tree_util.tree_map(
-        lambda p, m: p if m else jnp.zeros((0,), p.dtype), params, mask
+        lambda p, m: p if m else jnp.zeros((0,), jnp.float32), params, mask
     )
 
 
 def merge_trainable(train_tree: Dict, params: Dict, mask: Dict) -> Dict:
+    # stop_gradient on frozen leaves gives them symbolic-zero cotangents;
+    # without it the scan backward still accumulates a full stacked-weight
+    # cotangent buffer (~13.5 GB at 7B) before the pullback discards it
     return jax.tree_util.tree_map(
-        lambda t, p, m: t if m else p, train_tree, params, mask
+        lambda t, p, m: t if m else jax.lax.stop_gradient(p),
+        train_tree,
+        params,
+        mask,
     )
 
 
