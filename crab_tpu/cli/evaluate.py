@@ -86,7 +86,17 @@ def main(argv=None):
             for i, rec in enumerate(batch):
                 row = {k: v for k, v in rec.items() if isinstance(v, (str, int, float, list))}
                 row["predict"] = out.texts[i]
+                if task.is_avs and out.mask_found is not None:
+                    row["mask_found"] = bool(out.mask_found[i])
                 if task.is_avs and out.masks is not None and rec.get("mask_path"):
+                    if out.mask_found is not None and not out.mask_found[i]:
+                        # decode produced fewer than the six <mask_i>
+                        # tokens: the reference skips the sample
+                        # (unified_llama.py:344-353 returns no masks;
+                        # quick_start.py:82-84 `continue`s without
+                        # counting it)
+                        f.write(json.dumps(row) + "\n")
+                        continue
                     logits = out.masks[i]
                     if logits.shape[-1] != 224:  # tiny-config smoke runs
                         import cv2

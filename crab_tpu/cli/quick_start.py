@@ -129,7 +129,11 @@ def main(argv=None):
             task = TASKS[task_name]
             out = engine.run(task_name, [ex])
             record: Dict = {"task": task_name, "predict": out.texts[0]}
-            if task.is_avs and out.masks is not None:
+            if task.is_avs and out.mask_found is not None:
+                record["mask_found"] = bool(out.mask_found[0])
+            if task.is_avs and out.masks is not None and (
+                out.mask_found is None or out.mask_found[0]
+            ):
                 mask_logits = out.masks[0]
                 if mask_logits.shape[-1] != 224:  # tiny-config smoke runs
                     import cv2
@@ -145,7 +149,6 @@ def main(argv=None):
                 )
                 if ex.get("mask_path"):
                     if task.avss_head:
-                        gt = np.load_avss = None
                         from crab_tpu.media.masks import load_avss_label_mask
 
                         gt = load_avss_label_mask(ex["mask_path"])

@@ -23,7 +23,13 @@ from typing import Dict, List
 import numpy as np
 
 from crab_tpu.tasks import metrics as M
-from crab_tpu.tasks.parsers import normalize_answer, parse_box
+from crab_tpu.tasks.parsers import (
+    avvp_text_to_matrices,
+    normalize_answer,
+    normalize_event_name,
+    parse_box,
+    parse_tagged_events,
+)
 
 
 def _load(fp: str) -> List[Dict]:
@@ -48,13 +54,27 @@ def score_avqa(records: List[Dict]) -> Dict:
     return out
 
 
+def _avvp_mats(r: Dict, pred_key: str, gt_key: str):
+    """Per-record (SO_a, SO_v, SO_av, GT_a, GT_v, GT_av) — direct 25x10
+    matrices when present, otherwise bridged from the decoded/label text
+    via the tagged-event parser (the step the reference left unshipped)."""
+    if "SO_a" in r:
+        pred = [np.asarray(r[k], np.float64) for k in ("SO_a", "SO_v", "SO_av")]
+    else:
+        pred = list(avvp_text_to_matrices(r[pred_key]))
+    if "GT_a" in r:
+        gt = [np.asarray(r[k], np.float64) for k in ("GT_a", "GT_v", "GT_av")]
+    else:
+        gt = list(avvp_text_to_matrices(r.get(gt_key, r.get("output", ""))))
+    return pred + gt
+
+
 def score_avvp(records: List[Dict]) -> Dict:
     f_seg = np.zeros(4)
     f_ev = np.zeros(4)
     n = 0
     for r in records:
-        mats = [np.asarray(r[k], dtype=np.float64)
-                for k in ("SO_a", "SO_v", "SO_av", "GT_a", "GT_v", "GT_av")]
+        mats = _avvp_mats(r, "predict", "label")
         f_seg += np.asarray(M.avvp_segment_level(*mats))
         f_ev += np.asarray(M.avvp_event_level(*mats))
         n += 1
@@ -64,6 +84,71 @@ def score_avvp(records: List[Dict]) -> Dict:
         out[f"segment_{nm}"] = f_seg[i] / max(n, 1)
         out[f"event_{nm}"] = f_ev[i] / max(n, 1)
     out["n"] = n
+    return out
+
+
+def score_ave(records: List[Dict]) -> Dict:
+    """AVE: event + time-range accuracy from decoded <event>/<range> text
+    (the reference dumps JSONL at ``inference_hyper_lora.py:215-266`` and
+    scores offline with unshipped code; this implements the AVE protocol:
+    per-second event classification accuracy over the 10 s clip, plus
+    whole-event accuracy and temporal IoU).
+
+    Records carry predict + either (event, start_time, end_time) fields
+    or a gt text in the same tagged format (answer/output)."""
+
+    def seconds_vec(events, n=10):
+        vec = ["__bg__"] * n
+        for _, name, rng in events:
+            if rng is None:
+                s, e = 0, n
+            else:
+                s = int(max(min(rng[0], n), 0))
+                e = int(max(min(round(rng[1]), n), 0))
+                if e <= s:
+                    e = min(s + 1, n)
+            for t in range(s, e):
+                vec[t] = normalize_event_name(name)
+        return vec
+
+    sec_correct = sec_total = 0
+    event_ok, range_iou = [], []
+    for r in records:
+        pred_events = parse_tagged_events(r.get("predict", ""))
+        if "event" in r:
+            gt_rng = (
+                (float(r["start_time"]), float(r["end_time"]))
+                if "start_time" in r
+                else None
+            )
+            gt_events = [("both", str(r["event"]), gt_rng)]
+        else:
+            gt_events = parse_tagged_events(r.get("answer", r.get("output", "")))
+        pv, gv = seconds_vec(pred_events), seconds_vec(gt_events)
+        sec_correct += sum(int(a == b) for a, b in zip(pv, gv))
+        sec_total += len(gv)
+        gt_names = {normalize_event_name(n) for _, n, _ in gt_events}
+        pred_names = {normalize_event_name(n) for _, n, _ in pred_events}
+        event_ok.append(int(bool(gt_names) and gt_names <= pred_names))
+        for (_, gn, gr) in gt_events:
+            if gr is None:
+                continue
+            best = 0.0
+            for (_, pn, pr) in pred_events:
+                if pr is None or normalize_event_name(pn) != normalize_event_name(gn):
+                    continue
+                lo = max(gr[0], pr[0])
+                hi = min(gr[1], pr[1])
+                union = max(gr[1], pr[1]) - min(gr[0], pr[0])
+                best = max(best, max(hi - lo, 0.0) / union if union > 0 else 0.0)
+            range_iou.append(best)
+    out = {
+        "second_accuracy": sec_correct / max(sec_total, 1),
+        "event_accuracy": float(np.mean(event_ok)) if event_ok else 0.0,
+        "n": len(records),
+    }
+    if range_iou:
+        out["range_iou"] = float(np.mean(range_iou))
     return out
 
 
@@ -108,9 +193,9 @@ def score_avs(records: List[Dict], frames_per_video: int = 5) -> Dict:
     return out
 
 
-SCORERS = {"avqa": score_avqa, "avvp": score_avvp, "arig": score_arig,
-           "avs": score_avs, "s4": score_avs, "ms3": score_avs,
-           "ref-avs": score_avs}
+SCORERS = {"avqa": score_avqa, "ave": score_ave, "avvp": score_avvp,
+           "arig": score_arig, "avs": score_avs, "s4": score_avs,
+           "ms3": score_avs, "ref-avs": score_avs}
 
 
 def main(argv=None):

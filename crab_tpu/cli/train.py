@@ -73,8 +73,22 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation (ref stage-2 uses 8)")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-schedule", choices=["cosine", "constant"],
+                   default="cosine", help="ref: cosine w/ warmup_ratio 0.03")
+    p.add_argument("--warmup-ratio", type=float, default=0.03)
     p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--ce-weight", type=float, default=1.0)
+    p.add_argument("--bce-weight", type=float, default=1.0)
+    p.add_argument("--dice-weight", type=float, default=0.5)
+    p.add_argument("--no-dropout", action="store_true",
+                   help="disable LoRA dropout (ref trains with 0.05)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train-lora", action="store_true",
+                   help="stage-1: also train a decoder LoRA "
+                        "(pretrain.py:92-109; off in the shipped .sh)")
     p.add_argument("--save-every", type=int, default=200)
     p.add_argument("--log-every", type=int, default=1)
     p.add_argument("--resume", default="", help="orbax checkpoint to resume")
@@ -96,8 +110,10 @@ def main(argv=None):
     from crab_tpu.train.state import (
         STAGE_TRAINABLE,
         init_train_state,
+        make_lr_schedule,
         make_optimizer,
         make_train_step,
+        with_lora,
     )
     from crab_tpu.utils.diagnostics import StageTimer
     from crab_tpu.cli.quick_start import build_params, build_tokenizer
@@ -118,15 +134,25 @@ def main(argv=None):
     if dp * args.model_parallel > 1:
         params = shard_crab_params(params, mesh)
 
+    modules = STAGE_TRAINABLE[args.stage]
+    if args.train_lora:
+        modules = with_lora(modules)
+    import math
+
+    steps_per_epoch = max(math.ceil(len(dataset) / args.batch_size), 1)
+    total_updates = max(args.epochs * steps_per_epoch // args.accum_steps, 1)
+    schedule = make_lr_schedule(
+        args.lr, total_updates, args.warmup_ratio, args.lr_schedule
+    )
     optimizer = make_optimizer(
-        args.lr, STAGE_TRAINABLE[args.stage], params, args.weight_decay
+        schedule, modules, params, args.weight_decay, accum_steps=args.accum_steps
     )
     # trainable-parameter report (the reference dumps
     # model_trainable_params.txt — finetune_hyperlora.py:202-218)
     from crab_tpu.train.state import trainable_mask
 
     os.makedirs(args.out, exist_ok=True)
-    mask = trainable_mask(params, STAGE_TRAINABLE[args.stage])
+    mask = trainable_mask(params, modules)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     flat_m = jax.tree_util.tree_leaves(mask)
     total = trainable = 0
@@ -171,9 +197,23 @@ def main(argv=None):
             )
             key = (is_avs, avss)
             if key not in steps:
+                lora = cfg.decoder.lora
+                dropout_seed = (
+                    args.seed
+                    if lora is not None and lora.dropout > 0 and not args.no_dropout
+                    else None
+                )
                 steps[key] = jax.jit(
                     make_train_step(
-                        cfg, optimizer, avs=is_avs, avss_head=avss, trainable=mask
+                        cfg,
+                        optimizer,
+                        avs=is_avs,
+                        avss_head=avss,
+                        trainable=mask,
+                        ce_weight=args.ce_weight,
+                        bce_weight=args.bce_weight,
+                        dice_weight=args.dice_weight,
+                        dropout_seed=dropout_seed,
                     )
                 )
             batch = _fit_batch_media(batch, cfg)
@@ -199,7 +239,7 @@ def main(argv=None):
         ckpt.export_delta(
             os.path.join(args.out, f"delta_{args.stage}.npz"),
             jax.device_get(state.params),
-            STAGE_TRAINABLE[args.stage],
+            modules,
         )
     print(f"done. {timer.report()}")
 

@@ -108,15 +108,24 @@ def init_llama(key, cfg: DecoderConfig, dtype=jnp.float32) -> Dict[str, Any]:
     return params
 
 
-def _proj(p, x, lora_cfg):
+def _proj(p, x, lora_cfg, dropout_rng=None, route_out=False):
     if "w_q" in p:  # weight-only int8 (lm/quant.py): scale in the epilogue
         y = jnp.dot(x, p["w_q"].astype(x.dtype)) * p["w_s"].astype(x.dtype)[0]
     else:
         y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
+    route = None
     if lora_cfg is not None and "lora" in p:
-        y = y + moe_lora_delta(p["lora"], x, lora_cfg)
+        if route_out:
+            delta, route = moe_lora_delta(
+                p["lora"], x, lora_cfg, return_route=True, dropout_rng=dropout_rng
+            )
+        else:
+            delta = moe_lora_delta(p["lora"], x, lora_cfg, dropout_rng=dropout_rng)
+        y = y + delta
+    if route_out:
+        return y, route
     return y
 
 
@@ -167,12 +176,22 @@ def llama_apply(
     cache: Optional[KVCache] = None,
     collect_routes: bool = False,
     remat: bool = False,
+    dropout_rng: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[KVCache], Optional[dict]]:
     """Returns (logits fp32, last_hidden, new_cache, route_telemetry).
 
     Without a cache: full causal self-attention over T (prefill/training);
     attention_mask is (B, T) padding mask. With a cache: T new tokens are
     appended at cache.length; attention_mask must cover the cache max_len.
+
+    ``collect_routes``: telemetry dict with per-token router weights for
+    every attention projection — ``{'q'|'k'|'v'|'o': (L, B, T, E)}`` plus
+    ``q_route_mean`` (L, E) — the reference needed a forked
+    modeling_llama.py for this (``models/modeling_llama.py:1140-1252``,
+    dumped by ``inference_hyper_lora.py:164-205``).
+
+    ``dropout_rng``: enables train-mode LoRA dropout (rate cfg.lora.dropout)
+    on every adapted projection; omit for eval/inference determinism.
     """
     B, T, D = inputs_embeds.shape
     x = inputs_embeds
@@ -214,25 +233,30 @@ def llama_apply(
         layer_params, layer_idx = inputs
         h = rms_norm(layer_params["attn_norm"], x, cfg.rms_norm_eps)
         out = {}
-        if collect_routes and lora_cfg is not None and "lora" in layer_params["q"]:
-            # mean q-proj router weight per expert (the reference needed a
-            # forked modeling_llama.py for this — SURVEY §5 telemetry)
-            route = jax.nn.softmax(
-                (h @ layer_params["q"]["lora"]["route"].astype(h.dtype)).astype(
-                    jnp.float32
-                ),
-                axis=-1,
+        has_lora = lora_cfg is not None and "lora" in layer_params["q"]
+        collect = collect_routes and has_lora
+        dkeys = {}
+        if dropout_rng is not None and has_lora and lora_cfg.dropout > 0.0:
+            names = ("q", "k", "v", "o", "gate", "up", "down")
+            dkeys = dict(
+                zip(names, jax.random.split(jax.random.fold_in(dropout_rng, layer_idx), 7))
             )
-            out["q_route_mean"] = route.mean(axis=(0, 1))
-        q = _proj(layer_params["q"], h, lora_cfg).reshape(
-            B, T, cfg.num_heads, cfg.head_dim
+        q, q_route = _proj(
+            layer_params["q"], h, lora_cfg, dkeys.get("q"), route_out=True
         )
-        k = _proj(layer_params["k"], h, lora_cfg).reshape(
-            B, T, cfg.num_kv_heads, cfg.head_dim
+        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+        k, k_route = _proj(
+            layer_params["k"], h, lora_cfg, dkeys.get("k"), route_out=True
         )
-        v = _proj(layer_params["v"], h, lora_cfg).reshape(
-            B, T, cfg.num_kv_heads, cfg.head_dim
+        k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v, v_route = _proj(
+            layer_params["v"], h, lora_cfg, dkeys.get("v"), route_out=True
         )
+        v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        if collect:
+            out["q"] = q_route.astype(jnp.float32)
+            out["k"] = k_route.astype(jnp.float32)
+            out["v"] = v_route.astype(jnp.float32)
         q, k = _apply_rope(q, k, cos, sin)
 
         if quant_cache:
@@ -292,12 +316,19 @@ def llama_apply(
         else:
             attn = _attention(q, k, v, mask, cfg.num_heads, cfg.num_kv_heads)
 
-        x = x + _proj(layer_params["o"], attn, lora_cfg)
+        o, o_route = _proj(
+            layer_params["o"], attn, lora_cfg, dkeys.get("o"), route_out=True
+        )
+        if collect:
+            out["o"] = o_route.astype(jnp.float32)
+        x = x + o
 
         h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
-        gate = _proj(layer_params["gate"], h, lora_cfg)
-        up = _proj(layer_params["up"], h, lora_cfg)
-        x = x + _proj(layer_params["down"], jax.nn.silu(gate) * up, lora_cfg)
+        gate = _proj(layer_params["gate"], h, lora_cfg, dkeys.get("gate"))
+        up = _proj(layer_params["up"], h, lora_cfg, dkeys.get("up"))
+        x = x + _proj(
+            layer_params["down"], jax.nn.silu(gate) * up, lora_cfg, dkeys.get("down")
+        )
 
         return (x, *cache_bufs), out
 
@@ -327,9 +358,8 @@ def llama_apply(
         new_cache = KVCacheQ(*cache_bufs, offset + T)
     elif cache is not None:
         new_cache = KVCache(*cache_bufs, offset + T)
-    telemetry = (
-        {"q_route_mean": ys["q_route_mean"]}
-        if collect_routes and isinstance(ys, dict) and "q_route_mean" in ys
-        else None
-    )
+    telemetry = None
+    if collect_routes and isinstance(ys, dict) and "q" in ys:
+        telemetry = dict(ys)  # q/k/v/o: (L, B, T, E)
+        telemetry["q_route_mean"] = ys["q"].mean(axis=(1, 2))  # (L, E)
     return logits, x, new_cache, telemetry

@@ -32,18 +32,33 @@ def init_moe_lora(key, in_dim: int, out_dim: int, cfg: MoELoRAConfig, dtype=jnp.
     }
 
 
-def moe_lora_delta(p, x, cfg: MoELoRAConfig, return_route: bool = False):
+def moe_lora_delta(
+    p,
+    x,
+    cfg: MoELoRAConfig,
+    return_route: bool = False,
+    dropout_rng=None,
+):
     """LoRA delta for input x (..., in_dim); add to the base projection.
 
     Contraction order matters: weighting the tiny (..., E, r) tensor by
     the router FIRST and contracting (e, r) jointly avoids materializing
     a (..., E, out_dim) intermediate — at 7B prefill that intermediate is
     ~750 MB per projection per layer of pure HBM traffic.
+
+    ``dropout_rng`` enables train-mode LoRA dropout (inverted, rate
+    cfg.dropout) on the A-path input ONLY — the router sees raw x, exactly
+    like the reference's ``lora_B(lora_A(lora_dropout(x)))`` with the
+    route outside the dropout (peft_hyper/tuners/lora.py:349-350).
     """
     route = jax.nn.softmax(
         (x @ p["route"].astype(x.dtype)).astype(jnp.float32), axis=-1
     ).astype(x.dtype)  # (..., E)
-    a = x @ p["A"].astype(x.dtype)  # (..., r)
+    xa = x
+    if dropout_rng is not None and cfg.dropout > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - cfg.dropout, x.shape)
+        xa = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0).astype(x.dtype)
+    a = xa @ p["A"].astype(x.dtype)  # (..., r)
     weighted = route[..., :, None] * a[..., None, :]  # (..., E, r) — tiny
     delta = jnp.einsum("...er,erd->...d", weighted, p["B"].astype(x.dtype))
     delta = delta * cfg.scaling

@@ -1,5 +1,6 @@
 from crab_tpu.media.fbank import kaldi_fbank, beats_normalize, FbankConfig
 from crab_tpu.media.audio import (
+    load_audio,
     load_wav,
     chunk_windows_1s,
     chunk_windows_2s_stride6,
@@ -21,6 +22,7 @@ __all__ = [
     "kaldi_fbank",
     "beats_normalize",
     "FbankConfig",
+    "load_audio",
     "load_wav",
     "chunk_windows_1s",
     "chunk_windows_2s_stride6",

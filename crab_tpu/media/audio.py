@@ -56,6 +56,29 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int = TARGET_SR) -> np.ndarray:
     return y[:out_len].astype(np.float32)
 
 
+def load_audio(path: str, sr: int = TARGET_SR, duration: Optional[float] = None) -> np.ndarray:
+    """Load any supported audio file (WAV, or MP3 etc. via the native
+    plane's system-codec path) as mono float32 at the requested rate.
+
+    The datasets mix formats — AVVP/AVE/AVQA ship .mp3
+    (``dataset/unified_dataset.py:204,237,247``), the AVS splits .wav;
+    the reference decodes all of them through librosa.
+    """
+    try:
+        from crab_tpu.native import binding as _native
+
+        if _native.available():
+            return _native.load_audio(path, sr, duration)
+    except Exception:
+        pass
+    if not path.lower().endswith(".wav"):
+        raise ValueError(
+            f"{path}: non-WAV audio needs the native media plane "
+            "(crab_tpu/native) with a system MPEG codec (libmpg123)"
+        )
+    return load_wav(path, sr, duration)
+
+
 def load_wav(path: str, sr: int = TARGET_SR, duration: Optional[float] = None) -> np.ndarray:
     """Load a WAV file as mono float32 at the requested sample rate.
 

@@ -27,7 +27,7 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, "-ldl"],
             check=True,
             capture_output=True,
             timeout=120,
@@ -60,6 +60,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_long),
         ]
         lib.crab_load_wav.restype = ctypes.c_int
+        lib.crab_load_audio.argtypes = lib.crab_load_wav.argtypes
+        lib.crab_load_audio.restype = ctypes.c_int
+        lib.crab_has_mp3.restype = ctypes.c_int
         lib.crab_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         _lib = lib
         return _lib
@@ -69,13 +72,10 @@ def available() -> bool:
     return _load() is not None
 
 
-def load_wav(path: str, sr: int = 16000, duration: Optional[float] = None) -> np.ndarray:
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native crabmedia unavailable")
+def _call_loader(fn, path: str, sr: int, duration: Optional[float]) -> np.ndarray:
     out = ctypes.POINTER(ctypes.c_float)()
     out_len = ctypes.c_long()
-    rc = lib.crab_load_wav(
+    rc = fn(
         path.encode(), sr, float(duration or -1.0), ctypes.byref(out), ctypes.byref(out_len)
     )
     if rc == 1:
@@ -85,5 +85,27 @@ def load_wav(path: str, sr: int = 16000, duration: Optional[float] = None) -> np
     try:
         arr = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
     finally:
-        lib.crab_free(out)
+        lib_free = _load().crab_free
+        lib_free(out)
     return arr.astype(np.float32)
+
+
+def load_wav(path: str, sr: int = 16000, duration: Optional[float] = None) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native crabmedia unavailable")
+    return _call_loader(lib.crab_load_wav, path, sr, duration)
+
+
+def load_audio(path: str, sr: int = 16000, duration: Optional[float] = None) -> np.ndarray:
+    """Any supported format: WAV natively, MPEG audio (.mp3) through the
+    system codec (libmpg123, dlopen'd)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native crabmedia unavailable")
+    return _call_loader(lib.crab_load_audio, path, sr, duration)
+
+
+def has_mp3() -> bool:
+    lib = _load()
+    return bool(lib is not None and lib.crab_has_mp3())

@@ -14,6 +14,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <dlfcn.h>
 #include <vector>
 
 namespace {
@@ -155,6 +156,123 @@ std::vector<float> resample(const std::vector<float>& x, int sr_in, int sr_out) 
   return y;
 }
 
+// ---------------------------------------------------------------------------
+// MPEG audio (.mp3) decode via the system codec (libmpg123), loaded with
+// dlopen so the library stays dependency-free at build time. The AVVP /
+// AVE / AVQA splits ship .mp3 audio (``dataset/unified_dataset.py:204,247``);
+// the reference decodes them through librosa->audioread->mad. Falls back
+// cleanly (crab_has_mp3()==0) when the codec is absent.
+// ---------------------------------------------------------------------------
+
+struct Mpg123Api {
+  void* dl = nullptr;
+  int (*init)() = nullptr;
+  void* (*make)(const char*, int*) = nullptr;
+  int (*open)(void*, const char*) = nullptr;
+  int (*getformat)(void*, long*, int*, int*) = nullptr;
+  int (*format_none)(void*) = nullptr;
+  int (*format)(void*, long, int, int) = nullptr;
+  int (*read)(void*, unsigned char*, size_t, size_t*) = nullptr;
+  int (*close)(void*) = nullptr;
+  void (*destroy)(void*) = nullptr;
+  bool ok = false;
+};
+
+enum {
+  CRAB_MPG123_OK = 0,
+  CRAB_MPG123_DONE = -12,
+  CRAB_MPG123_NEW_FORMAT = -11,
+  CRAB_MPG123_ENC_FLOAT_32 = 0x200,
+};
+
+const Mpg123Api& mpg123_api() {
+  static Mpg123Api api = [] {
+    Mpg123Api a;
+    const char* names[] = {"libmpg123.so.0", "libmpg123.so"};
+    for (const char* n : names) {
+      a.dl = dlopen(n, RTLD_NOW | RTLD_LOCAL);
+      if (a.dl) break;
+    }
+    if (!a.dl) return a;
+    auto sym = [&](const char* s) { return dlsym(a.dl, s); };
+    a.init = (int (*)())sym("mpg123_init");
+    a.make = (void* (*)(const char*, int*))sym("mpg123_new");
+    a.open = (int (*)(void*, const char*))sym("mpg123_open");
+    a.getformat = (int (*)(void*, long*, int*, int*))sym("mpg123_getformat");
+    a.format_none = (int (*)(void*))sym("mpg123_format_none");
+    a.format = (int (*)(void*, long, int, int))sym("mpg123_format");
+    a.read = (int (*)(void*, unsigned char*, size_t, size_t*))sym("mpg123_read");
+    a.close = (int (*)(void*))sym("mpg123_close");
+    a.destroy = (void (*)(void*))sym("mpg123_delete");
+    a.ok = a.init && a.make && a.open && a.getformat && a.format_none &&
+           a.format && a.read && a.close && a.destroy;
+    if (a.ok && a.init() != CRAB_MPG123_OK) a.ok = false;
+    return a;
+  }();
+  return api;
+}
+
+// Decode any mpg123-supported stream to mono float at its native rate.
+bool decode_mpeg(const char* path, Wav* out) {
+  const Mpg123Api& api = mpg123_api();
+  if (!api.ok) return false;
+  int err = 0;
+  void* h = api.make(nullptr, &err);
+  if (!h) return false;
+  bool good = false;
+  long rate = 0;
+  int channels = 0, enc = 0;
+  do {
+    // probe the stream's native rate/channels, then REOPEN with the
+    // output locked to float32 — format changes set after open don't
+    // retroactively apply to the already-negotiated stream.
+    if (api.open(h, path) != CRAB_MPG123_OK) break;
+    if (api.getformat(h, &rate, &channels, &enc) != CRAB_MPG123_OK) break;
+    api.close(h);
+    if (rate <= 0 || channels <= 0) break;
+    api.format_none(h);
+    if (api.format(h, rate, channels, CRAB_MPG123_ENC_FLOAT_32) !=
+        CRAB_MPG123_OK)
+      break;
+    if (api.open(h, path) != CRAB_MPG123_OK) break;
+    std::vector<unsigned char> buf(1 << 16);
+    std::vector<float> interleaved;
+    for (;;) {
+      size_t done = 0;
+      int rc = api.read(h, buf.data(), buf.size(), &done);
+      if (done) {
+        const float* f = (const float*)buf.data();
+        interleaved.insert(interleaved.end(), f, f + done / sizeof(float));
+      }
+      if (rc == CRAB_MPG123_DONE) {
+        good = true;
+        break;
+      }
+      if (rc == CRAB_MPG123_NEW_FORMAT) {
+        if (api.getformat(h, &rate, &channels, &enc) != CRAB_MPG123_OK) break;
+        continue;
+      }
+      if (rc != CRAB_MPG123_OK) break;
+    }
+    if (!good || interleaved.empty()) {
+      good = false;
+      break;
+    }
+    out->sample_rate = (int)rate;
+    size_t frames = interleaved.size() / channels;
+    out->samples.resize(frames);
+    const float inv_ch = 1.0f / channels;
+    for (size_t i = 0; i < frames; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < channels; ++c) acc += interleaved[i * channels + c];
+      out->samples[i] = acc * inv_ch;
+    }
+  } while (false);
+  api.close(h);
+  api.destroy(h);
+  return good;
+}
+
 }  // namespace
 
 extern "C" {
@@ -179,8 +297,41 @@ int crab_load_wav(const char* path, int target_sr, double duration,
   return 0;
 }
 
+// Load ANY supported audio file (RIFF/WAV natively, MPEG audio via the
+// system codec) as mono float32 at target_sr. Returns 0 on success,
+// 1 = unreadable file, 2 = undecodable, 3 = OOM.
+int crab_load_audio(const char* path, int target_sr, double duration,
+                    float** out, long* out_len) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return 1;
+  Wav wav;
+  bool is_wav =
+      buf.size() >= 12 && !memcmp(buf.data(), "RIFF", 4) &&
+      !memcmp(buf.data() + 8, "WAVE", 4);
+  if (is_wav) {
+    if (!parse_wav(buf, &wav)) return 2;
+  } else {
+    buf.clear();
+    buf.shrink_to_fit();
+    if (!decode_mpeg(path, &wav)) return 2;
+  }
+  if (duration > 0) {
+    size_t maxn = (size_t)(duration * wav.sample_rate);
+    if (wav.samples.size() > maxn) wav.samples.resize(maxn);
+  }
+  std::vector<float> res = resample(wav.samples, wav.sample_rate, target_sr);
+  *out_len = (long)res.size();
+  *out = (float*)malloc(res.size() * sizeof(float));
+  if (!*out) return 3;
+  memcpy(*out, res.data(), res.size() * sizeof(float));
+  return 0;
+}
+
+// 1 when the MPEG codec path is usable on this host.
+int crab_has_mp3() { return mpg123_api().ok ? 1 : 0; }
+
 void crab_free(float* p) { free(p); }
 
-int crab_version() { return 1; }
+int crab_version() { return 2; }
 
 }  // extern "C"

@@ -103,20 +103,23 @@ class InferenceEngine:
         return SampleSpec(ids, lens, None, task.name), media
 
     def _fit_media(self, media: Dict) -> Dict:
-        """Resize frames to the configured ViT input size if needed."""
+        """Resize frames to the configured ViT input size if needed —
+        PIL bicubic to match the reference preprocessing path
+        (``Image.resize`` default, quick_start_dataset.py:456-459)."""
         size = self.cfg.vision.image_size
         out = dict(media)
         for key in ("video", "image"):
             if key in out and out[key].shape[1] != size:
-                import cv2
+                from PIL import Image
 
-                frames = out[key]
                 out[key] = np.stack(
                     [
-                        cv2.resize(f, (size, size), interpolation=cv2.INTER_LINEAR)
-                        for f in frames
+                        np.asarray(
+                            Image.fromarray(f).resize((size, size)), np.uint8
+                        )
+                        for f in out[key]
                     ]
-                ).astype(np.uint8)
+                )
         return out
 
     # ------------------------------------------------------------------
@@ -274,10 +277,16 @@ class InferenceEngine:
             mask_found=np.asarray(found) if found is not None else None,
         )
 
-    def route_telemetry(self, task_name: str, samples: List[Dict]) -> np.ndarray:
-        """(num_layers, num_experts) mean q-proj router weights over one
-        prefill — the reference's route-weight dumps
-        (``inference_hyper_lora.py:164-205``) without the model fork."""
+    def route_telemetry(
+        self, task_name: str, samples: List[Dict], per_token: bool = False
+    ):
+        """Router-weight telemetry over one prefill — the reference's
+        route-weight dumps (``inference_hyper_lora.py:164-205``) without
+        the model fork (``models/modeling_llama.py:1140-1252``).
+
+        per_token=False: (num_layers, num_experts) mean q-proj weights.
+        per_token=True: dict {'q','k','v','o'} of (L, B, T, E) full
+        per-token router weights for every attention projection."""
         from crab_tpu.lm.llama import llama_apply
 
         task = TASKS[task_name]
@@ -309,6 +318,8 @@ class InferenceEngine:
             position_ids=jnp.asarray(batch.position_ids),
             collect_routes=True,
         )
+        if per_token:
+            return {k: np.asarray(telemetry[k]) for k in ("q", "k", "v", "o")}
         return np.asarray(telemetry["q_route_mean"])
 
     def _pad_len(self, specs: List[SampleSpec], task: TaskSpec) -> int:

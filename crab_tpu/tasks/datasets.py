@@ -45,7 +45,10 @@ _ORDINAL = {
 def _answer(record: Dict, special: SpecialTokens, task: str) -> str:
     mt = special.mask_token_str
     if task == "avqa":
-        return record["answer"]
+        # the reference's train output is the pre-templated converted-label
+        # text (unified_dataset.py:171 read_label); accept it directly, with
+        # a bare answer string as the convenience fallback
+        return record.get("output") or record["answer"]
     if task == "ave":
         return record["output"]
     if task == "avvp":
@@ -122,11 +125,12 @@ class TrainDataset:
             spec = TASKS[task]
             with open(path) as f:
                 records = json.load(f)
+            instr_fn = spec.train_instruction or spec.instruction
             for r in records:
                 self.examples.append(
                     TrainExample(
                         task_name=task,
-                        instruction=self.chat(spec.instruction(r)),
+                        instruction=self.chat(instr_fn(r)),
                         output=_answer(r, special, task) + "</s>",
                         record=r,
                     )

@@ -33,6 +33,18 @@ def avvp_instruction() -> str:
     )
 
 
+def avvp_train_instruction() -> str:
+    """The reference's TRAIN builder words this differently from the test
+    builder ('...information in the video ... end times...' —
+    ``unified_dataset.py:251`` vs ``quick_start_dataset.py:183``)."""
+    return (
+        _AV_PREFIX
+        + "Please determine the events that occur based on the visual and audio "
+        "information in the video, as well as the start and end times of these "
+        "events."
+    )
+
+
 def arig_instruction() -> str:
     return _IA_PREFIX + "Please output the location coordinates of sounding object."
 

@@ -17,7 +17,7 @@ from crab_tpu.media.audio import (
     chunk_single_second,
     chunk_windows_1s,
     chunk_windows_2s_stride6,
-    load_wav,
+    load_audio,
 )
 from crab_tpu.media.masks import load_avss_label_mask, load_binary_mask
 from crab_tpu.media.video import load_image, load_video_frames
@@ -38,6 +38,9 @@ class TaskSpec:
     avss_head: bool = False
     max_new_tokens: int = 500
     metric: str = "text"  # text | f1 | box | mask | mask71 | null
+    # train-time instruction when the reference words it differently from
+    # the test builder (None -> same as `instruction`)
+    train_instruction: Callable[..., str] = None
 
 
 def _video(sample, image_size=224):
@@ -49,7 +52,7 @@ def _image(sample, image_size=224):
 
 
 def _avqa_media(sample):
-    audio = load_wav(sample["audio_path"], duration=60)
+    audio = load_audio(sample["audio_path"], duration=60)
     return {
         "video": _video(sample),
         "audio": chunk_windows_2s_stride6(audio, 60),  # (10, 32000)
@@ -57,7 +60,7 @@ def _avqa_media(sample):
 
 
 def _ave_avvp_media(sample):
-    audio = load_wav(sample["audio_path"])
+    audio = load_audio(sample["audio_path"])
     return {
         "video": _video(sample),
         "audio": chunk_windows_1s(audio, 10),  # (10, 16000)
@@ -65,7 +68,7 @@ def _ave_avvp_media(sample):
 
 
 def _arig_media(sample):
-    audio = load_wav(sample["audio_path"])
+    audio = load_audio(sample["audio_path"])
     return {
         "image": _image(sample),
         "audio": chunk_single_second(audio, sample.get("idx", 0), 5)[None],  # (1, nps)
@@ -73,7 +76,7 @@ def _arig_media(sample):
 
 
 def _avs_media(sample, total_seconds):
-    audio = load_wav(sample["audio_path"])
+    audio = load_audio(sample["audio_path"])
     out = {
         "image": _image(sample),
         "audio": chunk_single_second(audio, sample.get("idx", 0), total_seconds)[None],
@@ -84,7 +87,7 @@ def _avs_media(sample, total_seconds):
 
 
 def _avss_media(sample):
-    audio = load_wav(sample["audio_path"])
+    audio = load_audio(sample["audio_path"])
     out = {
         "image": _image(sample),
         "audio": chunk_single_second(audio, sample.get("idx", 0), 10)[None],
@@ -95,7 +98,7 @@ def _avss_media(sample):
 
 
 def _ref_avs_media(sample):
-    audio = load_wav(sample["audio_path"])
+    audio = load_audio(sample["audio_path"])
     out = {
         "image": _image(sample),
         "audio": chunk_windows_1s(audio, 10),  # (10, nps)
@@ -120,7 +123,9 @@ TASKS: Dict[str, TaskSpec] = {
         "ave", lambda s: prompts.ave_instruction(), _ave_avvp_media, _AV, metric="text"
     ),
     "avvp": TaskSpec(
-        "avvp", lambda s: prompts.avvp_instruction(), _ave_avvp_media, _AV, metric="f1"
+        "avvp", lambda s: prompts.avvp_instruction(), _ave_avvp_media, _AV,
+        metric="f1",
+        train_instruction=lambda s: prompts.avvp_train_instruction(),
     ),
     "avcap": TaskSpec(
         "avcap", lambda s: prompts.avcap_instruction(), _ave_avvp_media, _AV,
@@ -183,7 +188,7 @@ MAX_PRETRAIN_AUDIO_SECONDS = 10
 
 
 def _pt_audio(sample):
-    audio = load_wav(sample["audio_path"])
+    audio = load_audio(sample["audio_path"])
     sr = 16000
     if len(audio) < sr:
         audio = np.concatenate([audio, np.zeros(sr - len(audio), np.float32)])

@@ -37,7 +37,10 @@ class TrainState(NamedTuple):
 # ---------------------------------------------------------------------------
 
 STAGE_TRAINABLE = {
-    # stage-1 per-modality pretrain: projector only (plus LoRA on decoder)
+    # stage-1 per-modality pretrain: projector only, matching the shipped
+    # launchers (pretrain_{visual,audio,seg}.sh all pass --lora_enable
+    # False). pretrain.py:92-109 ALSO supports a standard decoder LoRA
+    # over all linears — opt in via with_lora() / cli --train-lora.
     "pretrain_visual": ("vl_projector/",),
     "pretrain_audio": ("al_projector/",),
     "pretrain_seg": ("seg/",),
@@ -52,6 +55,13 @@ STAGE_TRAINABLE = {
 }
 
 
+def with_lora(modules: Sequence[str]) -> tuple:
+    """Add the decoder LoRA params to a stage's trainable set — the
+    reference's optional stage-1 LoRA (``pretrain.py:92-109``, enabled
+    by --lora_enable; the shipped pretrain .sh launchers leave it off)."""
+    return tuple(modules) + ("/lora/",) if "/lora/" not in modules else tuple(modules)
+
+
 def trainable_mask(params: Dict, modules: Sequence[str]) -> Dict:
     """True where any selector matches the param path (substring match,
     like the reference's ``save_modules`` filter)."""
@@ -64,15 +74,48 @@ def trainable_mask(params: Dict, modules: Sequence[str]) -> Dict:
     return jax.tree_util.tree_map_with_path(match, params)
 
 
-def make_optimizer(
-    learning_rate, modules: Sequence[str], params: Dict, weight_decay: float = 0.0
+def make_lr_schedule(
+    peak_lr: float,
+    total_steps: int,
+    warmup_ratio: float = 0.03,
+    kind: str = "cosine",
 ):
+    """Reference schedule: HF cosine-with-warmup, warmup_ratio 0.03
+    (``finetune_hyperlora.sh:85-87``). ``total_steps`` counts optimizer
+    updates (i.e. accumulated steps, not micro-steps)."""
+    if kind == "constant":
+        return peak_lr
+    warmup = max(int(total_steps * warmup_ratio), 1)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak_lr,
+        warmup_steps=warmup,
+        decay_steps=max(total_steps, warmup + 1),
+        end_value=0.0,
+    )
+
+
+def make_optimizer(
+    learning_rate,
+    modules: Sequence[str],
+    params: Dict,
+    weight_decay: float = 0.0,
+    accum_steps: int = 1,
+):
+    """AdamW over the trainable subset. ``learning_rate`` may be a float or
+    an optax schedule (see make_lr_schedule). ``accum_steps`` > 1 wraps the
+    transform in optax.MultiSteps — gradient accumulation with the same
+    semantics as the reference's ``gradient_accumulation_steps`` (HF
+    Trainer + DeepSpeed, accum 8 => effective batch 32/device)."""
     tx = optax.adamw(learning_rate, b1=0.9, b2=0.999, weight_decay=weight_decay)
     mask = trainable_mask(params, modules)
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"train": tx, "freeze": optax.set_to_zero()},
         jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask),
     )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 # ---------------------------------------------------------------------------
@@ -125,12 +168,14 @@ def seg_losses(
     bce_weight: float = 1.0,
     dice_weight: float = 0.5,
 ) -> jnp.ndarray:
-    """Mask loss mix (``multimodal_encoder.py:459-491``)."""
+    """Mask loss mix with the reference's weight flags
+    (``multimodal_encoder.py:459-491``; defaults bce 1.0 / dice 0.5 from
+    ``finetune_hyperlora.sh`` --bce_loss_weight/--dice_loss_weight)."""
     B = masks.shape[0]
     if avss:
         return avss_ce_loss(masks, gt.astype(jnp.int32))
     pred = masks[:, 0]
-    return bce_weight * sigmoid_ce_loss(pred, gt, B) * B / B + dice_weight * dice_loss(
+    return bce_weight * sigmoid_ce_loss(pred, gt, B) + dice_weight * dice_loss(
         pred, gt, B
     )
 
@@ -146,6 +191,10 @@ def make_train_step(
     avs: bool = False,
     avss_head: bool = False,
     trainable: Dict = None,
+    ce_weight: float = 1.0,
+    bce_weight: float = 1.0,
+    dice_weight: float = 0.5,
+    dropout_seed: int = None,
 ):
     """Returns a jittable train_step(state, batch) -> (state, metrics).
 
@@ -155,6 +204,11 @@ def make_train_step(
     differentiated (fine for small configs) and the optimizer mask zeroes
     the frozen updates.
 
+    ``ce/bce/dice_weight`` mirror the reference's --*_loss_weight flags.
+    ``dropout_seed`` enables train-mode LoRA dropout (rate
+    cfg.decoder.lora.dropout, ref default 0.05) with a per-step key
+    derived from the state step — deterministic given the seed.
+
     batch (device arrays):
       media: {'audio': (B,T,ns)[, 'video'|'image': (B,T,H,W,3) u8]}
       text_ids, feat_idx, attention_mask, position_ids, labels: (B, L)
@@ -163,7 +217,7 @@ def make_train_step(
     """
     dtype = jnp.dtype(cfg.compute_dtype)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, step):
         media = batch["media"]
         parts = []
         seg_taps = None
@@ -183,6 +237,11 @@ def make_train_step(
             batch["feat_idx"],
             bank.reshape(B * stride, D),
         ).astype(dtype)
+        dropout_rng = None
+        if dropout_seed is not None and cfg.decoder.lora is not None:
+            dropout_rng = jax.random.fold_in(
+                jax.random.PRNGKey(dropout_seed), step
+            )
         logits, hidden, _, _ = llama_apply(
             params["decoder"],
             cfg.decoder,
@@ -190,8 +249,9 @@ def make_train_step(
             attention_mask=batch["attention_mask"],
             position_ids=batch["position_ids"],
             remat=True,  # activation recompute: 7B backward fits on-chip
+            dropout_rng=dropout_rng,
         )
-        loss = lm_loss(logits, batch["labels"])
+        loss = ce_weight * lm_loss(logits, batch["labels"])
         metrics = {"lm_loss": loss}
         if avs:
             pos = batch["mask_token_pos"]  # (B, K)
@@ -205,7 +265,9 @@ def make_train_step(
                 cfg.seg,
                 task="avss" if avss_head else "binary",
             )
-            mloss = seg_losses(masks, batch["gt_mask"], avss_head)
+            mloss = seg_losses(
+                masks, batch["gt_mask"], avss_head, bce_weight, dice_weight
+            )
             metrics["mask_loss"] = mloss
             loss = loss + mloss
         metrics["loss"] = loss
@@ -214,7 +276,7 @@ def make_train_step(
     def train_step(state: TrainState, batch):
         if trainable is None:
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch
+                state.params, batch, state.step
             )
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -224,7 +286,9 @@ def make_train_step(
         train_tree = split_trainable(full, trainable)
 
         def loss_on_trainable(train_tree, batch):
-            return loss_fn(merge_trainable(train_tree, full, trainable), batch)
+            return loss_fn(
+                merge_trainable(train_tree, full, trainable), batch, state.step
+            )
 
         (loss, metrics), grads = jax.value_and_grad(
             loss_on_trainable, has_aux=True

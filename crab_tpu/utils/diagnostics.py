@@ -100,3 +100,19 @@ def dump_route_telemetry(telemetry: Dict, out_dir: str, step: int):
     with open(os.path.join(out_dir, f"route_summary_{step}.json"), "w") as f:
         json.dump(rec, f, indent=1)
     return rec
+
+
+def dump_token_routes(routes: Dict, out_dir: str, step: int, sample: int = 0):
+    """Reference-format per-token route dumps: one directory per step
+    containing ``{q,k,v,o}_token_weight.npy`` of shape
+    (seq_len, num_layers, 1, num_experts) — byte-layout parity with
+    ``inference_hyper_lora.py:190-199`` (which concatenates per-token
+    (1, 32, 1, 3) tensors). Input: engine.route_telemetry(per_token=True)
+    output, i.e. {'q'|'k'|'v'|'o': (L, B, T, E)}."""
+    d = os.path.join(out_dir, str(step))
+    os.makedirs(d, exist_ok=True)
+    for k in ("q", "k", "v", "o"):
+        arr = np.asarray(routes[k])  # (L, B, T, E)
+        arr = arr[:, sample].transpose(1, 0, 2)[:, :, None, :]  # (T, L, 1, E)
+        np.save(os.path.join(d, f"{k}_token_weight.npy"), arr)
+    return d

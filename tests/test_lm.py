@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from crab_tpu.core.config import DecoderConfig, MoELoRAConfig
 from crab_tpu.lm.convert import convert_llama
 from crab_tpu.lm.generate import capture_mask_hidden, generate
-from crab_tpu.lm.llama import llama_apply
+from crab_tpu.lm.llama import init_llama, llama_apply
 from crab_tpu.lm.lora import init_moe_lora, moe_lora_delta
 
 CFG = DecoderConfig(
@@ -309,3 +309,89 @@ def test_sampling_generate(params):
     tk = generate(params, CFG, jnp.asarray(embeds), mask, pos, 6, 10**6,
                   temperature=1.0, top_k=1, rng=jax.random.PRNGKey(3))
     np.testing.assert_array_equal(np.asarray(tk.tokens), np.asarray(greedy.tokens))
+
+
+def test_lora_dropout_train_vs_eval():
+    """Dropout must perturb outputs only when an rng is supplied, must be
+    reproducible given the key, and must leave the router input intact
+    (peft formula: B(A(dropout(x))), route(x) on raw x)."""
+    cfg = MoELoRAConfig(rank=4, alpha=16, num_experts=3, dropout=0.5)
+    p = dict(init_moe_lora(jax.random.PRNGKey(0), 16, 24, cfg))
+    p["B"] = jax.random.normal(jax.random.PRNGKey(1), p["B"].shape) * 0.1
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 5, 16)).astype(np.float32)
+    )
+    eval_out = moe_lora_delta(p, x, cfg)
+    eval_out2 = moe_lora_delta(p, x, cfg)
+    np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(eval_out2))
+
+    k = jax.random.PRNGKey(42)
+    train_out = moe_lora_delta(p, x, cfg, dropout_rng=k)
+    train_out2 = moe_lora_delta(p, x, cfg, dropout_rng=k)
+    np.testing.assert_array_equal(np.asarray(train_out), np.asarray(train_out2))
+    assert not np.allclose(np.asarray(train_out), np.asarray(eval_out))
+    # routes are dropout-invariant (router sees raw x)
+    _, r_eval = moe_lora_delta(p, x, cfg, return_route=True)
+    _, r_train = moe_lora_delta(p, x, cfg, return_route=True, dropout_rng=k)
+    np.testing.assert_array_equal(np.asarray(r_eval), np.asarray(r_train))
+    # rate 0 disables even with an rng
+    cfg0 = MoELoRAConfig(rank=4, alpha=16, num_experts=3, dropout=0.0)
+    np.testing.assert_array_equal(
+        np.asarray(moe_lora_delta(p, x, cfg0, dropout_rng=k)),
+        np.asarray(moe_lora_delta(p, x, cfg0)),
+    )
+
+
+def test_llama_dropout_rng_changes_output():
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, lora=MoELoRAConfig(rank=4, alpha=16, num_experts=2, dropout=0.5)
+    )
+    params = init_llama(jax.random.PRNGKey(3), cfg)
+    # non-zero B so the LoRA path matters
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        lora = dict(params["layers"][name]["lora"])
+        lora["B"] = (
+            jax.random.normal(jax.random.PRNGKey(9), lora["B"].shape) * 0.05
+        )
+        params["layers"][name] = dict(params["layers"][name], lora=lora)
+    emb = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 6, CFG.hidden_size)) * 0.1,
+        jnp.float32,
+    )
+    eval_logits, _, _, _ = llama_apply(params, cfg, emb)
+    eval_logits2, _, _, _ = llama_apply(params, cfg, emb)
+    np.testing.assert_array_equal(np.asarray(eval_logits), np.asarray(eval_logits2))
+    k = jax.random.PRNGKey(11)
+    tr, _, _, _ = llama_apply(params, cfg, emb, dropout_rng=k)
+    tr2, _, _, _ = llama_apply(params, cfg, emb, dropout_rng=k)
+    np.testing.assert_array_equal(np.asarray(tr), np.asarray(tr2))
+    assert not np.allclose(np.asarray(tr), np.asarray(eval_logits))
+
+
+def test_per_token_route_telemetry():
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, lora=MoELoRAConfig(rank=4, alpha=16, num_experts=3, dropout=0.0)
+    )
+    params = init_llama(jax.random.PRNGKey(3), cfg)
+    B, T = 2, 5
+    emb = jnp.asarray(
+        np.random.default_rng(1).standard_normal((B, T, CFG.hidden_size)) * 0.1,
+        jnp.float32,
+    )
+    _, _, _, tel = llama_apply(params, cfg, emb, collect_routes=True)
+    L, E = cfg.num_layers, cfg.lora.num_experts
+    for k in ("q", "k", "v", "o"):
+        assert tel[k].shape == (L, B, T, E)
+        np.testing.assert_allclose(
+            np.asarray(tel[k]).sum(-1), np.ones((L, B, T)), rtol=1e-4
+        )
+    assert tel["q_route_mean"].shape == (L, E)
+    np.testing.assert_allclose(
+        np.asarray(tel["q_route_mean"]),
+        np.asarray(tel["q"]).mean(axis=(1, 2)),
+        rtol=1e-6,
+    )

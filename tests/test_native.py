@@ -59,3 +59,50 @@ def test_native_duration_and_missing(native):
     assert abs(len(y) - 16000) <= 2
     with pytest.raises(FileNotFoundError):
         native.load_wav("/nonexistent.wav", 16000)
+
+
+REF_MP3 = "/root/reference/assets/example/avqa/00006835.mp3"
+
+
+def test_mp3_decode_vs_sdl_oracle(native):
+    """crab_load_audio must decode real dataset .mp3 (AVVP/AVE/AVQA ship
+    mp3 audio — unified_dataset.py:204,247) sample-identically to an
+    independent decoder (SDL_mixer via pygame)."""
+    if not os.path.exists(REF_MP3):
+        pytest.skip("asset missing")
+    if not native.has_mp3():
+        pytest.skip("system MPEG codec unavailable")
+    pygame = pytest.importorskip("pygame")
+    # the fixture's native rate is 16 kHz (MPEG-2); decode both sides at
+    # native rate so no resampler is in the comparison loop
+    ours = native.load_audio(REF_MP3, 16000)
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    pygame.mixer.quit()
+    pygame.mixer.init(frequency=16000, channels=2)
+    import pygame.sndarray as sa
+
+    ref = sa.array(pygame.mixer.Sound(REF_MP3)).astype(np.float32)
+    ref = ref.mean(axis=1) / 32768.0
+    assert abs(len(ours) - len(ref)) < 2
+    n = min(len(ours), len(ref))
+    np.testing.assert_allclose(ours[:n], ref[:n], atol=2e-4)
+    # sanity: the clip is non-trivial audio
+    assert float(np.sqrt((ours ** 2).mean())) > 0.01
+
+
+def test_load_audio_wav_equals_load_wav(native):
+    if not os.path.exists(REF_WAV):
+        pytest.skip("asset missing")
+    np.testing.assert_array_equal(
+        native.load_audio(REF_WAV, 16000), native.load_wav(REF_WAV, 16000)
+    )
+
+
+def test_load_audio_python_fallback_rejects_mp3(monkeypatch):
+    from crab_tpu.media import audio as A
+
+    monkeypatch.setenv("CRAB_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(binding, "_tried", True)
+    monkeypatch.setattr(binding, "_lib", None)
+    with pytest.raises(ValueError, match="native media plane"):
+        A.load_audio("/nonexistent/clip.mp3")

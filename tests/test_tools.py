@@ -104,3 +104,73 @@ def test_prefetch_loader_order_and_errors():
 
 
 import pytest  # noqa: E402
+
+
+def test_avvp_text_bridge_roundtrip():
+    """Templated answer text -> matrices -> F1 must equal direct matrices."""
+    from crab_tpu.tasks.parsers import AVVP_CLASSES, avvp_text_to_matrices
+
+    text = (
+        "<audio_event>Dog</audio_event> <range>0-4</range> "
+        "<visual_event>Dog</visual_event> <range>2-6</range> "
+        "<audio_event>Violin fiddle</audio_event> <range>5-10</range>"
+    )
+    a, v, av = avvp_text_to_matrices(text)
+    dog = AVVP_CLASSES.index("Dog")
+    violin = AVVP_CLASSES.index("Violin_fiddle")
+    assert a[dog, :4].all() and not a[dog, 4:].any()
+    assert v[dog, 2:6].all() and not v[dog, :2].any()
+    assert a[violin, 5:].all()
+    np.testing.assert_array_equal(av, a * v)
+    # unknown event names are dropped silently
+    a2, _, _ = avvp_text_to_matrices("<audio_event>Theremin</audio_event>")
+    assert not a2.any()
+    # score_avvp bridges from predict/label text and agrees with matrices
+    rec_text = {"predict": text, "label": text}
+    rec_mat = {
+        "SO_a": a.tolist(), "SO_v": v.tolist(), "SO_av": av.tolist(),
+        "GT_a": a.tolist(), "GT_v": v.tolist(), "GT_av": av.tolist(),
+    }
+    out_t, out_m = score_avvp([rec_text]), score_avvp([rec_mat])
+    for k in out_m:
+        np.testing.assert_allclose(out_t[k], out_m[k])
+
+
+def test_score_ave():
+    from crab_tpu.cli.score import score_ave
+
+    recs = [
+        # exact match via gt fields
+        {"predict": "<event>Church bell</event> <range>2-8</range>",
+         "event": "church bell", "start_time": 2, "end_time": 8},
+        # wrong event entirely
+        {"predict": "<event>Dog</event> <range>0-10</range>",
+         "event": "church bell", "start_time": 0, "end_time": 10},
+    ]
+    out = score_ave(recs)
+    assert out["n"] == 2
+    np.testing.assert_allclose(out["event_accuracy"], 0.5)
+    # rec 1: all 10 seconds correct (bg before/after matches);
+    # rec 2: 0 correct
+    np.testing.assert_allclose(out["second_accuracy"], 0.5)
+    np.testing.assert_allclose(out["range_iou"], 0.5)  # (1.0 + 0.0) / 2
+    # gt as tagged text instead of fields
+    out2 = score_ave(
+        [{"predict": "<event>Dog</event> <range>0-5</range>",
+          "output": "<event>Dog</event> <range>0-5</range>"}]
+    )
+    np.testing.assert_allclose(out2["event_accuracy"], 1.0)
+    np.testing.assert_allclose(out2["second_accuracy"], 1.0)
+
+
+def test_dump_token_routes(tmp_path):
+    from crab_tpu.utils.diagnostics import dump_token_routes
+
+    L, B, T, E = 3, 2, 5, 4
+    rng = np.random.default_rng(0)
+    routes = {k: rng.random((L, B, T, E)) for k in ("q", "k", "v", "o")}
+    d = dump_token_routes(routes, str(tmp_path), step=7, sample=1)
+    for k in ("q", "k", "v", "o"):
+        arr = np.load(f"{d}/{k}_token_weight.npy")
+        assert arr.shape == (T, L, 1, E)  # reference layout (seq, layers, 1, E)
+        np.testing.assert_allclose(arr[:, :, 0, :], routes[k][:, 1].transpose(1, 0, 2))

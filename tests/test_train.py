@@ -219,3 +219,96 @@ def test_split_trainable_step_matches_full():
         np.asarray(back["decoder"]["layers"]["q"]["w"]),
         np.asarray(params["decoder"]["layers"]["q"]["w"]),
     )
+
+
+def test_grad_accumulation_semantics():
+    """accum=2: params untouched after the 1st micro-step, updated after
+    the 2nd; the update equals an accum=1 step on the mean gradient."""
+    from crab_tpu.train.state import with_lora
+
+    rng = np.random.default_rng(7)
+    params = init_crab(jax.random.PRNGKey(0), CFG)
+    modules = STAGE_TRAINABLE["finetune"]
+    mask = trainable_mask(params, modules)
+    b1 = _make_batch(rng)
+
+    opt2 = make_optimizer(1e-2, modules, params, accum_steps=2)
+    step2 = jax.jit(make_train_step(CFG, opt2, trainable=mask))
+    st = init_train_state(params, opt2, trainable=mask)
+    st_a, _ = step2(st, b1)
+    p0 = params["vl_projector"]["mlp"]["fc1"]["w"]
+    np.testing.assert_array_equal(
+        np.asarray(st_a.params["vl_projector"]["mlp"]["fc1"]["w"]), np.asarray(p0)
+    )
+    st_b, _ = step2(st_a, b1)
+    upd2 = np.asarray(st_b.params["vl_projector"]["mlp"]["fc1"]["w"])
+    assert not np.allclose(upd2, np.asarray(p0))
+
+    # oracle: the same micro-batch twice has mean gradient == grad(b1),
+    # so the post-accumulation Adam update must equal one accum=1 step.
+    # (A mixed-batch oracle is NOT exact under Adam: eps-scale sign flips
+    # on near-zero gradients turn into +-lr differences.)
+    opt1 = make_optimizer(1e-2, modules, params, accum_steps=1)
+    step1 = jax.jit(make_train_step(CFG, opt1, trainable=mask))
+    st1 = init_train_state(params, opt1, trainable=mask)
+    st1b, _ = step1(st1, b1)
+    upd1 = np.asarray(st1b.params["vl_projector"]["mlp"]["fc1"]["w"])
+    np.testing.assert_allclose(upd2, upd1, rtol=1e-4, atol=1e-6)
+
+    # with_lora extends stage-1 selectors (pretrain.py:92-109 parity)
+    m = trainable_mask(params, with_lora(STAGE_TRAINABLE["pretrain_visual"]))
+    assert m["decoder"]["layers"]["q"]["lora"]["A"]
+    assert m["vl_projector"]["mlp"]["fc1"]["w"]
+    assert not m["decoder"]["layers"]["q"]["w"]
+
+
+def test_lr_schedule_and_loss_weights():
+    from crab_tpu.train.state import make_lr_schedule, seg_losses
+
+    sched = make_lr_schedule(1e-4, total_steps=100, warmup_ratio=0.1)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-4, rtol=1e-6)  # peak
+    assert float(sched(100)) < 1e-6  # decayed to ~0
+    assert make_lr_schedule(1e-4, 100, kind="constant") == 1e-4
+
+    rng = np.random.default_rng(0)
+    masks = jnp.asarray(rng.standard_normal((2, 1, 8, 8)).astype(np.float32))
+    gt = jnp.asarray((rng.random((2, 8, 8)) > 0.5).astype(np.float32))
+    base = seg_losses(masks, gt, avss=False, bce_weight=1.0, dice_weight=0.5)
+    doubled = seg_losses(masks, gt, avss=False, bce_weight=2.0, dice_weight=1.0)
+    np.testing.assert_allclose(float(doubled), 2 * float(base), rtol=1e-5)
+
+
+def test_train_step_dropout_changes_loss():
+    """dropout_seed: loss differs from eval-mode but is step-deterministic."""
+    import dataclasses
+
+    # tiny cfg with nonzero-dropout lora; bump B init so the lora path
+    # actually contributes
+    lora = dataclasses.replace(CFG.decoder.lora, dropout=0.5)
+    cfg = CFG.replace(decoder=dataclasses.replace(CFG.decoder, lora=lora))
+    params = init_crab(jax.random.PRNGKey(0), cfg)
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        l = dict(params["decoder"]["layers"][name]["lora"])
+        l["B"] = jax.random.normal(jax.random.PRNGKey(1), l["B"].shape) * 0.05
+        params["decoder"]["layers"][name] = dict(
+            params["decoder"]["layers"][name], lora=l
+        )
+    rng = np.random.default_rng(3)
+    batch = _make_batch(rng)
+    modules = STAGE_TRAINABLE["finetune"]
+    mask = trainable_mask(params, modules)
+    opt = make_optimizer(1e-3, modules, params)
+
+    def loss_of(seed):
+        step = jax.jit(
+            make_train_step(cfg, opt, trainable=mask, dropout_seed=seed)
+        )
+        st = init_train_state(params, opt, trainable=mask)
+        _, metrics = step(st, batch)
+        return float(metrics["loss"])
+
+    eval_loss = loss_of(None)
+    train_loss = loss_of(0)
+    assert train_loss != eval_loss
+    assert loss_of(0) == train_loss  # same seed+step -> same loss
