@@ -145,19 +145,97 @@ def main():
     clips_per_sec = BATCH / dt
     print(f"# steady-state: {dt*1000:.0f} ms/batch of {BATCH}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "avqa_e2e_clips_per_sec_per_chip",
-                "value": round(clips_per_sec, 4),
-                "unit": (
-                    f"clips/s (7B int8-weight/bf16-act, batch {BATCH}, 10f video "
-                    f"+ 10x2s audio, {MAX_NEW_TOKENS} decode steps)"
-                ),
-                "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
-            }
-        )
+    # ---- stage breakdown (batch 8): encode vs prefill+decode ----------
+    # re-run the already-compiled programs with explicit blocking between
+    # stages; host/prep time is the remainder of the e2e batch time.
+    from crab_tpu.fusion.splice import build_splice_batch
+
+    task = registry.TASKS["bench-avqa"]
+    specs, medias = [], []
+    for s in samples:
+        spec, media = engine.build_sample(task, s)
+        specs.append(spec)
+        medias.append(media)
+    t_host0 = time.time()
+    sb = build_splice_batch(
+        specs, special, pad_to=engine._pad_len(specs, task), pad_id=engine.pad_id
     )
+    media_batch = {
+        k: jnp.asarray(np.stack([m[k] for m in medias])) for k in medias[0]
+    }
+    encode_fn, gen_fn, _ = engine._program_for(
+        tuple(sorted(media_batch)), False, "binary"
+    )
+    host_ms = (time.time() - t_host0) * 1000
+    t1 = time.time()
+    bank, _ = encode_fn(engine.params, media_batch)
+    np.asarray(bank[0, 0])  # force through the lazy relay
+    encode_ms = (time.time() - t1) * 1000
+    t1 = time.time()
+    res = gen_fn(
+        engine.params["decoder"], bank, jnp.asarray(sb.text_ids),
+        jnp.asarray(sb.feat_idx), jnp.asarray(sb.attention_mask),
+        jnp.asarray(sb.position_ids), MAX_NEW_TOKENS,
+    )
+    np.asarray(res.tokens[0, -1])
+    gen_ms = (time.time() - t1) * 1000
+    breakdown = {
+        "host_prep_ms": round(host_ms, 1),
+        "encode_ms": round(encode_ms, 1),
+        "prefill_decode_ms": round(gen_ms, 1),
+        "decode_ms_per_token_est": round(gen_ms / (MAX_NEW_TOKENS + 12), 2),
+    }
+    print(f"# stage breakdown: {breakdown}", file=sys.stderr)
+
+    # ---- p50/p99 single-query latency (BASELINE.json primary metric) ---
+    lat_iters = int(os.environ.get("CRAB_BENCH_LAT_ITERS", "5"))
+    lats = []
+    for i in range(lat_iters + 1):
+        t1 = time.time()
+        engine.run("bench-avqa", samples[:1])
+        lat = (time.time() - t1) * 1000
+        if i > 0:  # first single-sample call compiles the batch-1 programs
+            lats.append(lat)
+        else:
+            print(f"# batch-1 compile+first: {lat/1000:.1f}s", file=sys.stderr)
+    p50 = float(np.percentile(lats, 50))
+    p99 = float(np.percentile(lats, 99))
+    print(f"# p50 {p50:.0f} ms  p99 {p99:.0f} ms (batch 1, "
+          f"{MAX_NEW_TOKENS} tokens)", file=sys.stderr)
+
+    # reference-comparable budget: the reference decodes NTP tasks with
+    # max_new_tokens=500 (quick_start.py:39). Random weights never emit
+    # EOS, so this is the worst-case full-budget latency.
+    lat500 = None
+    if os.environ.get("CRAB_BENCH_500", "1") == "1":
+        t500 = registry.TaskSpec(
+            "bench-avqa-500", task.instruction, task.media,
+            dict(task.feature_lens), max_new_tokens=500,
+        )
+        registry.TASKS["bench-avqa-500"] = t500
+        t1 = time.time()
+        engine.run("bench-avqa-500", samples[:1])
+        print(f"# 500-token compile+first: {time.time()-t1:.1f}s", file=sys.stderr)
+        t1 = time.time()
+        engine.run("bench-avqa-500", samples[:1])
+        lat500 = (time.time() - t1) * 1000
+        print(f"# 500-token budget latency: {lat500:.0f} ms", file=sys.stderr)
+
+    record = {
+        "metric": "avqa_e2e_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 4),
+        "unit": (
+            f"clips/s (7B int8-weight/bf16-act, batch {BATCH}, 10f video "
+            f"+ 10x2s audio, {MAX_NEW_TOKENS} decode steps)"
+        ),
+        "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
+        "p50_latency_ms": round(p50, 1),
+        "p99_latency_ms": round(p99, 1),
+        "stage_breakdown": breakdown,
+    }
+    if lat500 is not None:
+        record["latency_500tok_budget_ms"] = round(lat500, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true")
     p.add_argument("--kv-quant", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--score-unfound", action="store_true",
+                   help="score masks even when the decode lacks the six "
+                        "<mask_i> tokens (the reference skips them)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--limit", type=int, default=0)
     args = p.parse_args(argv)
@@ -89,7 +92,11 @@ def main(argv=None):
                 if task.is_avs and out.mask_found is not None:
                     row["mask_found"] = bool(out.mask_found[i])
                 if task.is_avs and out.masks is not None and rec.get("mask_path"):
-                    if out.mask_found is not None and not out.mask_found[i]:
+                    if (
+                        not args.score_unfound
+                        and out.mask_found is not None
+                        and not out.mask_found[i]
+                    ):
                         # decode produced fewer than the six <mask_i>
                         # tokens: the reference skips the sample
                         # (unified_llama.py:344-353 returns no masks;

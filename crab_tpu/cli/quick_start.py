@@ -98,6 +98,10 @@ def main(argv=None):
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (Pallas decode attention)")
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke test)")
+    p.add_argument("--score-unfound", action="store_true",
+                   help="score masks even when the decode lacks the six "
+                        "<mask_i> tokens (the reference skips them; useful "
+                        "for random-weight smoke runs)")
     p.add_argument("--max-new-tokens", type=int, default=0, help="override")
     args = p.parse_args(argv)
 
@@ -132,7 +136,7 @@ def main(argv=None):
             if task.is_avs and out.mask_found is not None:
                 record["mask_found"] = bool(out.mask_found[0])
             if task.is_avs and out.masks is not None and (
-                out.mask_found is None or out.mask_found[0]
+                args.score_unfound or out.mask_found is None or out.mask_found[0]
             ):
                 mask_logits = out.masks[0]
                 if mask_logits.shape[-1] != 224:  # tiny-config smoke runs

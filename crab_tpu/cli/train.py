@@ -92,6 +92,8 @@ def main(argv=None):
     p.add_argument("--save-every", type=int, default=200)
     p.add_argument("--log-every", type=int, default=1)
     p.add_argument("--resume", default="", help="orbax checkpoint to resume")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="write TF event files (ref: --report_to tensorboard)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="devices on the data axis (0 = all)")
     p.add_argument("--model-parallel", type=int, default=1)
@@ -176,6 +178,11 @@ def main(argv=None):
     timer = StageTimer()
     os.makedirs(args.out, exist_ok=True)
     log_fp = open(os.path.join(args.out, "train_log.jsonl"), "a")
+    tb = None
+    if args.tensorboard:
+        from crab_tpu.utils.tb_writer import TBWriter
+
+        tb = TBWriter(os.path.join(args.out, "tb"))
 
     # preemption-safe: checkpoint full state (incl. optimizer) on SIGTERM —
     # the reference loses optimizer state on any interruption (SURVEY §5)
@@ -227,6 +234,17 @@ def main(argv=None):
                 log_fp.write(json.dumps(m) + "\n")
                 log_fp.flush()
                 print(f"step {global_step}: {m}")
+                if tb is not None:
+                    for k, v in m.items():
+                        if k not in ("step", "epoch"):
+                            tb.add_scalar(f"train/{k}", v, global_step)
+                    if callable(schedule):
+                        tb.add_scalar(
+                            "train/lr",
+                            float(schedule(global_step // args.accum_steps)),
+                            global_step,
+                        )
+                    tb.flush()
             if preempted["flag"]:
                 path = os.path.join(args.out, f"ckpt_preempt_{global_step}")
                 ckpt.save_state(path, state)

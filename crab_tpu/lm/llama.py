@@ -45,7 +45,14 @@ class KVCache(NamedTuple):
 class KVCacheQ(NamedTuple):
     """int8 KV cache (decode attention runs in a Pallas kernel that
     dequantizes in VMEM — see ops/decode_attention.py). Layout is
-    (L, B, Hkv, S, d) so per-(batch, head) blocks are clean (S, d) tiles."""
+    (L, B, Hkv, S, d) so per-(batch, head) blocks are clean (S, d) tiles.
+
+    CONSTRAINT: prefill (T > 1) must happen exactly once, at offset 0 —
+    the T>1 branch attends over the *local* bf16 k/v (``mask[..., :T]``)
+    rather than the quantized cache, which is only read by the T==1
+    decode kernel. Chunked/continued prefill would silently drop earlier
+    chunks; use the bf16 KVCache if that's ever needed. lm/generate.py's
+    prefill-once-then-decode loop satisfies this by construction."""
 
     k_q: jnp.ndarray  # (L, B, n_kv, S_max, hd) int8
     k_s: jnp.ndarray  # (L, B, n_kv, S_max) f32

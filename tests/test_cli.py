@@ -32,9 +32,13 @@ def test_quick_start_cli(tmp_path):
     ex = tmp_path / "examples.json"
     ex.write_text(json.dumps(examples))
     out = tmp_path / "out"
-    main(["--examples", str(ex), "--random-init", "--tiny", "--out", str(out)])
+    main(["--examples", str(ex), "--random-init", "--tiny", "--out", str(out),
+          "--score-unfound"])
     rows = [json.loads(l) for l in open(out / "results.jsonl")]
     assert [r["task"] for r in rows] == ["s4", "arig"]
+    # random weights never decode the six <mask_i> tokens; --score-unfound
+    # keeps the metric path exercised while mask_found records the truth
+    assert rows[0]["mask_found"] is False
     assert "miou" in rows[0] and "fscore" in rows[0]
     assert rows[1]["predict"] != ""
     assert (out / "s4_mask.npy").exists()
@@ -56,12 +60,13 @@ def test_evaluate_cli(tmp_path):
     out = tmp_path / "eval"
     summary = main(
         ["--task", "ms3", "--annotations", str(annp), "--random-init", "--tiny",
-         "--out", str(out), "--batch-size", "2"]
+         "--out", str(out), "--batch-size", "2", "--score-unfound"]
     )
     assert summary["n"] == 2
     assert "miou" in summary
     rows = [json.loads(l) for l in open(out / "infer_results.jsonl")]
     assert len(rows) == 2 and "fscore" in rows[0]
+    assert rows[0]["mask_found"] is False
     assert len(os.listdir(out / "pred_masks")) == 2
 
 

@@ -174,3 +174,33 @@ def test_dump_token_routes(tmp_path):
         arr = np.load(f"{d}/{k}_token_weight.npy")
         assert arr.shape == (T, L, 1, E)  # reference layout (seq, layers, 1, E)
         np.testing.assert_allclose(arr[:, :, 0, :], routes[k][:, 1].transpose(1, 0, 2))
+
+
+def test_tb_writer_roundtrip(tmp_path):
+    """Our dependency-free event writer must be readable by TensorFlow's
+    own summary reader (format oracle)."""
+    tf_reader = pytest.importorskip(
+        "tensorflow.python.summary.summary_iterator"
+    )
+    from crab_tpu.utils.tb_writer import TBWriter
+
+    w = TBWriter(str(tmp_path))
+    expected = []
+    for i in range(4):
+        w.add_scalar("train/loss", 1.0 / (i + 1), i)
+        expected.append((i, "train/loss", 1.0 / (i + 1)))
+    w.close()
+    import os as _os
+
+    f = str(tmp_path / _os.listdir(tmp_path)[0])
+    events = list(tf_reader.summary_iterator(f))
+    assert events[0].file_version == "brain.Event:2"
+    got = [
+        (e.step, v.tag, v.simple_value)
+        for e in events[1:]
+        for v in e.summary.value
+    ]
+    assert len(got) == 4
+    for (s, t, v), (es, et, ev) in zip(got, expected):
+        assert (s, t) == (es, et)
+        np.testing.assert_allclose(v, ev, rtol=1e-6)
