@@ -19,6 +19,7 @@ order-of-magnitude anchor, not a measurement.
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import zlib
 import json
 import os
 import sys
@@ -98,7 +99,7 @@ def main():
         def encode(self, text):
             ids = []
             for w in text.replace(">", "> ").replace("<", " <").split():
-                ids.append(special.token_to_id.get(w, 7 + (hash(w) % 20000)))
+                ids.append(special.token_to_id.get(w, 7 + (zlib.crc32(w.encode()) % 20000)))
             return ids
 
         def decode(self, ids):

@@ -30,7 +30,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", required=True)
     p.add_argument("--annotations", required=True)
-    p.add_argument("--llama", default="")
+    p.add_argument("--llm", choices=["llama", "qwen"], default="llama")
+    p.add_argument("--llama", default="", help="HF decoder checkpoint dir")
     p.add_argument("--clip", default="")
     p.add_argument("--beats", default="")
     p.add_argument("--tokenizer", default="")
@@ -48,23 +49,23 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0)
     args = p.parse_args(argv)
 
-    from crab_tpu.core.config import crab_7b, crab_tiny
-    from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.runtime.engine import InferenceEngine
     from crab_tpu.tasks import metrics as M
     from crab_tpu.tasks.registry import TASKS
-    from crab_tpu.cli.quick_start import build_params, build_tokenizer
+    from crab_tpu.cli.quick_start import build_params, build_tokenizer, select_model
     from crab_tpu.cli import score as scorer
 
     task = TASKS[args.task]
-    cfg = crab_tiny() if args.tiny else crab_7b()
+    cfg, special, chat_style, eos_id = select_model(args)
     if args.kv_quant:
         import dataclasses
 
         cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, kv_quant=True))
-    special = SpecialTokens(base_vocab=400 if args.tiny else 32000)
     params = build_params(args, cfg)
-    engine = InferenceEngine(cfg, params, build_tokenizer(args, special), special, eos_id=2)
+    engine = InferenceEngine(
+        cfg, params, build_tokenizer(args, special), special,
+        chat_style=chat_style, eos_id=eos_id,
+    )
 
     with open(args.annotations) as f:
         records: List[Dict] = json.load(f)

@@ -15,12 +15,30 @@ Usage:
 
 from __future__ import annotations
 
+import zlib
+
 import argparse
 import json
 import os
 from typing import Dict
 
 import numpy as np
+
+
+def select_model(args):
+    """(cfg, special_tokens, chat_style, eos_id) for --llm / --tiny —
+    the reference's ``--llm_name llama|qwen`` switch
+    (``finetune_hyperlora.py:44-45``)."""
+    from crab_tpu.core.config import crab_7b, crab_qwen_7b, crab_tiny
+    from crab_tpu.fusion.tokens import SpecialTokens
+
+    llm = getattr(args, "llm", "llama")
+    if getattr(args, "tiny", False):
+        return crab_tiny(), SpecialTokens(base_vocab=400), llm, 2
+    if llm == "qwen":
+        # Qwen2: base vocab 151646, <|im_end|> terminates generation
+        return crab_qwen_7b(), SpecialTokens(base_vocab=151646), "qwen", 151645
+    return crab_7b(), SpecialTokens(base_vocab=32000), "llama", 2
 
 
 def build_params(args, cfg):
@@ -73,7 +91,7 @@ def build_tokenizer(args, special):
             out = []
             lim = max(special.base_vocab - 10, 10)
             for w in text.replace(">", "> ").replace("<", " <").split():
-                out.append(special.token_to_id.get(w, 7 + (hash(w) % lim)))
+                out.append(special.token_to_id.get(w, 7 + (zlib.crc32(w.encode()) % lim)))
             return out
 
         def decode(self, ids):
@@ -85,7 +103,9 @@ def build_tokenizer(args, special):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--examples", required=True, help="example.json-style file")
-    p.add_argument("--llama", default="", help="HF LLaMA-2 checkpoint dir")
+    p.add_argument("--llm", choices=["llama", "qwen"], default="llama",
+                   help="decoder family (ref --llm_name)")
+    p.add_argument("--llama", default="", help="HF decoder checkpoint dir")
     p.add_argument("--clip", default="", help="HF CLIP ViT-L dir")
     p.add_argument("--beats", default="", help="BEATs .pt checkpoint")
     p.add_argument("--tokenizer", default="", help="HF tokenizer dir")
@@ -105,22 +125,20 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=0, help="override")
     args = p.parse_args(argv)
 
-    from crab_tpu.core.config import crab_7b, crab_tiny
-    from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.runtime.engine import InferenceEngine
     from crab_tpu.tasks import metrics as M
     from crab_tpu.tasks.registry import TASKS
 
-    cfg = crab_tiny() if args.tiny else crab_7b()
+    cfg, special, chat_style, eos_id = select_model(args)
     if args.kv_quant:
         import dataclasses
 
         cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, kv_quant=True))
-    base_vocab = 400 if args.tiny else 32000
-    special = SpecialTokens(base_vocab=base_vocab)
     params = build_params(args, cfg)
     tokenizer = build_tokenizer(args, special)
-    engine = InferenceEngine(cfg, params, tokenizer, special, eos_id=2)
+    engine = InferenceEngine(
+        cfg, params, tokenizer, special, chat_style=chat_style, eos_id=eos_id
+    )
 
     with open(args.examples) as f:
         examples = json.load(f)

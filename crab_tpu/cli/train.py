@@ -63,7 +63,8 @@ def main(argv=None):
                             "finetune", "finetune_avs", "all"])
     p.add_argument("--annotations", required=True,
                    help="task=path[,task=path...]")
-    p.add_argument("--llama", default="")
+    p.add_argument("--llm", choices=["llama", "qwen"], default="llama")
+    p.add_argument("--llama", default="", help="HF decoder checkpoint dir")
     p.add_argument("--clip", default="")
     p.add_argument("--beats", default="")
     p.add_argument("--tokenizer", default="")
@@ -102,9 +103,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from crab_tpu.core.config import crab_7b, crab_tiny
     from crab_tpu.core.mesh import MeshSpec, make_mesh
-    from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.runtime.sharding import shard_crab_params
     from crab_tpu.tasks.datasets import TrainCollator, TrainDataset, task_batches
     from crab_tpu.tasks.registry import TASKS
@@ -118,14 +117,13 @@ def main(argv=None):
         with_lora,
     )
     from crab_tpu.utils.diagnostics import StageTimer
-    from crab_tpu.cli.quick_start import build_params, build_tokenizer
+    from crab_tpu.cli.quick_start import build_params, build_tokenizer, select_model
 
-    cfg = crab_tiny() if args.tiny else crab_7b()
-    special = SpecialTokens(base_vocab=400 if args.tiny else 32000)
+    cfg, special, chat_style, _ = select_model(args)
     tokenizer = build_tokenizer(args, special)
 
     annotations = dict(kv.split("=", 1) for kv in args.annotations.split(","))
-    dataset = TrainDataset(annotations, special)
+    dataset = TrainDataset(annotations, special, chat_style=chat_style)
     collator = TrainCollator(tokenizer, special, cfg)
     print(f"dataset: {len(dataset)} examples over {sorted(annotations)}")
 

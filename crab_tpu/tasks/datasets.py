@@ -120,6 +120,7 @@ class TrainDataset:
     ):
         self.special = special
         self.chat = prompts.CHAT_TEMPLATES[chat_style]
+        eos = "</s>" if chat_style == "llama" else "<|im_end|>"
         self.examples: List[TrainExample] = []
         for task, path in annotations.items():
             spec = TASKS[task]
@@ -131,7 +132,7 @@ class TrainDataset:
                     TrainExample(
                         task_name=task,
                         instruction=self.chat(instr_fn(r)),
-                        output=_answer(r, special, task) + "</s>",
+                        output=_answer(r, special, task) + eos,
                         record=r,
                     )
                 )

@@ -1,5 +1,6 @@
 """Training data-layer tests with synthetic annotations + real assets."""
 
+import zlib
 import json
 import os
 
@@ -21,7 +22,7 @@ class StubTok:
     def encode(self, text):
         out = []
         for w in text.replace(">", "> ").replace("<", " <").split():
-            out.append(SPECIAL.token_to_id.get(w, 7 + (hash(w) % 300)))
+            out.append(SPECIAL.token_to_id.get(w, 7 + (zlib.crc32(w.encode()) % 300)))
         return out
 
 

@@ -1,5 +1,6 @@
 """End-to-end inference-engine tests on the tiny config (CPU mesh)."""
 
+import zlib
 import numpy as np
 import pytest
 
@@ -25,7 +26,7 @@ class StubTokenizer:
             if w in self.special.token_to_id:
                 out.append(self.special.token_to_id[w])
             else:
-                out.append(3 + (hash(w) % 300))
+                out.append(3 + (zlib.crc32(w.encode()) % 300))
         return out
 
     def decode(self, ids):
