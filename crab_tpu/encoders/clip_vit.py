@@ -54,10 +54,15 @@ def init_clip_vit(key, cfg: VisionEncoderConfig, dtype=jnp.float32):
         params["layers"].append(
             {
                 "ln1": layer_norm_init(cfg.hidden_size, dtype),
+                # q/k/v packed into one (H, 3H) matmul: one MXU dispatch
+                # instead of three per layer (HF stores them split; the
+                # converter packs — numerics identical)
                 "attn": {
-                    "q": linear_init(lk[0], cfg.hidden_size, cfg.hidden_size, dtype=dtype),
-                    "k": linear_init(lk[1], cfg.hidden_size, cfg.hidden_size, dtype=dtype),
-                    "v": linear_init(lk[2], cfg.hidden_size, cfg.hidden_size, dtype=dtype),
+                    "qkv": _pack_qkv(
+                        linear_init(lk[0], cfg.hidden_size, cfg.hidden_size, dtype=dtype),
+                        linear_init(lk[1], cfg.hidden_size, cfg.hidden_size, dtype=dtype),
+                        linear_init(lk[2], cfg.hidden_size, cfg.hidden_size, dtype=dtype),
+                    ),
                     "o": linear_init(lk[3], cfg.hidden_size, cfg.hidden_size, dtype=dtype),
                 },
                 "ln2": layer_norm_init(cfg.hidden_size, dtype),
@@ -74,12 +79,24 @@ def init_clip_vit(key, cfg: VisionEncoderConfig, dtype=jnp.float32):
     return params
 
 
+def _pack_qkv(q, k, v):
+    """Three (H, H) linears -> one packed (H, 3H) linear."""
+    return {
+        "w": jnp.concatenate([q["w"], k["w"], v["w"]], axis=1),
+        "b": jnp.concatenate([q["b"], k["b"], v["b"]]),
+    }
+
+
 def _attn(p, x, num_heads):
     B, L, H = x.shape
     hd = H // num_heads
-    q = linear(p["q"], x).reshape(B, L, num_heads, hd)
-    k = linear(p["k"], x).reshape(B, L, num_heads, hd)
-    v = linear(p["v"], x).reshape(B, L, num_heads, hd)
+    if "qkv" in p:
+        qkv = linear(p["qkv"], x).reshape(B, L, 3, num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    else:  # legacy split layout (older checkpoints/param trees)
+        q = linear(p["q"], x).reshape(B, L, num_heads, hd)
+        k = linear(p["k"], x).reshape(B, L, num_heads, hd)
+        v = linear(p["v"], x).reshape(B, L, num_heads, hd)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, H)

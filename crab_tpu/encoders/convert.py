@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from crab_tpu.core.config import AudioEncoderConfig, ProjectorConfig, VisionEncoderConfig
+from crab_tpu.encoders.clip_vit import _pack_qkv
 
 
 def _np(t) -> np.ndarray:
@@ -66,9 +67,12 @@ def convert_clip_vit(sd: Dict, cfg: VisionEncoderConfig, prefix: str = "vision_m
             {
                 "ln1": _ln(sd, f"{base}.layer_norm1"),
                 "attn": {
-                    "q": _lin(sd, f"{base}.self_attn.q_proj"),
-                    "k": _lin(sd, f"{base}.self_attn.k_proj"),
-                    "v": _lin(sd, f"{base}.self_attn.v_proj"),
+                    # packed (H, 3H) qkv — see clip_vit._pack_qkv
+                    "qkv": _pack_qkv(
+                        _lin(sd, f"{base}.self_attn.q_proj"),
+                        _lin(sd, f"{base}.self_attn.k_proj"),
+                        _lin(sd, f"{base}.self_attn.v_proj"),
+                    ),
                     "o": _lin(sd, f"{base}.self_attn.out_proj"),
                 },
                 "ln2": _ln(sd, f"{base}.layer_norm2"),

@@ -25,19 +25,37 @@ import numpy as np
 from crab_tpu.train.state import TrainState, trainable_mask
 
 
+def _pad_empty(tree):
+    """Orbax refuses zero-size arrays; trainable-only training carries
+    (0,)-shaped dummies for frozen leaves (train.state.split_trainable),
+    which surface in optimizer/accumulator state. Swap them for size-1
+    placeholders on save and swap back on restore."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: jnp.zeros((1,), x.dtype) if getattr(x, "size", 1) == 0 else x,
+        tree,
+    )
+
+
 def save_state(path: str, state: TrainState):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.save(os.path.abspath(path), _pad_empty(state), force=True)
     ckptr.wait_until_finished()
 
 
 def restore_state(path: str, template: TrainState) -> TrainState:
+    import jax
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), template)
+    restored = ckptr.restore(os.path.abspath(path), _pad_empty(template))
+    return jax.tree_util.tree_map(
+        lambda t, r: t if getattr(t, "size", 1) == 0 else r, template, restored
+    )
 
 
 def _flatten(tree, prefix=""):

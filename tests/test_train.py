@@ -312,3 +312,40 @@ def test_train_step_dropout_changes_loss():
     train_loss = loss_of(0)
     assert train_loss != eval_loss
     assert loss_of(0) == train_loss  # same seed+step -> same loss
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    """Preemption-resume (SURVEY §5): save full train state (params +
+    optimizer incl. accumulation buffers + step), restore into a fresh
+    template, and verify continued training is bit-identical to never
+    having stopped."""
+    from crab_tpu.train.checkpoint import restore_state, save_state
+
+    rng = np.random.default_rng(11)
+    params = init_crab(jax.random.PRNGKey(0), CFG)
+    modules = STAGE_TRAINABLE["finetune"]
+    mask = trainable_mask(params, modules)
+    opt = make_optimizer(1e-3, modules, params, accum_steps=2)
+    step = jax.jit(make_train_step(CFG, opt, trainable=mask))
+    batch = _make_batch(rng)
+
+    st = init_train_state(params, opt, trainable=mask)
+    st, _ = step(st, batch)  # leaves a live accumulation buffer
+    save_state(str(tmp_path / "ckpt"), st)
+
+    fresh = init_train_state(params, opt, trainable=mask)
+    restored = restore_state(str(tmp_path / "ckpt"), fresh)
+    assert int(restored.step) == int(st.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # continuing from the restore == continuing without interruption
+    cont_a, ma = step(st, batch)
+    cont_b, mb = step(restored, batch)
+    np.testing.assert_array_equal(
+        np.asarray(cont_a.params["vl_projector"]["mlp"]["fc1"]["w"]),
+        np.asarray(cont_b.params["vl_projector"]["mlp"]["fc1"]["w"]),
+    )
+    assert float(ma["loss"]) == float(mb["loss"])
