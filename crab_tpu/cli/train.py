@@ -36,7 +36,7 @@ def _fit_batch_media(batch: Dict, cfg) -> Dict:
 
     size = cfg.vision.image_size
     media = dict(batch["media"])
-    for key in ("video", "image"):
+    for key in ("video", "image", "seg_image"):
         if key in media and media[key].shape[2] != size:
             media[key] = np.stack(
                 [

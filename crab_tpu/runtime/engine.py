@@ -108,7 +108,7 @@ class InferenceEngine:
         (``Image.resize`` default, quick_start_dataset.py:456-459)."""
         size = self.cfg.vision.image_size
         out = dict(media)
-        for key in ("video", "image"):
+        for key in ("video", "image", "seg_image"):
             if key in out and out[key].shape[1] != size:
                 from PIL import Image
 
@@ -128,18 +128,30 @@ class InferenceEngine:
 
     def _encode_bank(self, params, media: Dict[str, jnp.ndarray], want_seg):
         """Build the per-sample feature bank in splice order
-        (audio, video, image)."""
+        (audio, video, image). 'seg_image' feeds ONLY the seg head —
+        the reference computes multi-scale features from
+        X_modals['<image>'] without splicing it (unified_arch.py:229-251,
+        the ms3/s4 full-split recipe)."""
         cfg = self.cfg
         parts = []
         seg_taps = None
+        taps_external = "seg_image" in media
         if "audio" in media:
             parts.append(encode_audio(params, cfg, media["audio"]))
         if "video" in media:
-            tok, seg_taps = encode_video(params, cfg, media["video"], want_seg)
+            tok, taps = encode_video(
+                params, cfg, media["video"], want_seg and not taps_external
+            )
+            seg_taps = taps if taps is not None else seg_taps
             parts.append(tok)
         if "image" in media:
-            tok, seg_taps = encode_video(params, cfg, media["image"], want_seg)
+            tok, taps = encode_video(
+                params, cfg, media["image"], want_seg and not taps_external
+            )
+            seg_taps = taps if taps is not None else seg_taps
             parts.append(tok)
+        if want_seg and taps_external:
+            _, seg_taps = encode_video(params, cfg, media["seg_image"], True)
         bank = jnp.concatenate(parts, axis=1)  # (B, stride, D)
         B, stride, D = bank.shape
         return bank.reshape(B * stride, D), seg_taps

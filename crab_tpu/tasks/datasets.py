@@ -89,9 +89,15 @@ def _answer(record: Dict, special: SpecialTokens, task: str) -> str:
             f"<mask_start>{mt}<mask_end>"
         )
     if task == "ref-avs":
+        # train format (unified_dataset.py:663); the test/quick-start
+        # surface uses the shorter '{exp} is <mask_start>...' instead
         exp = record["exp"]
         obj = record.get("object", "the object")
-        return f"{exp} is <mask_start>{mt}<mask_end>"
+        th = _ORDINAL.get(record.get("idx", 0) + 1, "first")
+        return (
+            f"At the {th} second in the video, {exp} is {obj}. "
+            f"Its mask is <mask_start>{mt}<mask_end>"
+        )
     # stage-1 pretrain tasks (dataset/pretrain_dataset.py)
     if task in ("image_caption", "video_caption", "audio_caption"):
         return record["caption"]
@@ -164,6 +170,7 @@ class TrainCollator:
         assert len({e.task_name for e in examples}) == 1, "one task per batch"
         task = TASKS[examples[0].task_name]
         specs, medias = [], []
+        media_fn = task.train_media or task.media
         for e in examples:
             instr_ids = self.tokenizer.encode(e.instruction)
             out_ids = self.tokenizer.encode(e.output)
@@ -174,12 +181,13 @@ class TrainCollator:
                     np.asarray(out_ids, np.int64),
                 ]
             )
-            media = task.media(e.record)
+            media = media_fn(e.record)
             lens = {}
             if "audio" in media:
                 lens["<audio>"] = (
                     media["audio"].shape[0] * self.cfg.al_projector.num_query_tokens
                 )
+            # seg_image feeds only the segmentation head, never the prompt
             for key in ("video", "image"):
                 if key in media:
                     lens[f"<{key}>"] = (

@@ -61,6 +61,93 @@ def avcap_instruction() -> str:
     return _AV_PREFIX + "Please describe this video and audio."
 
 
+# ---------------------------------------------------------------------------
+# Full-split / train variants — the reference words the SAME task three
+# ways across its three dataset surfaces (quick_start_dataset.py,
+# UnifiedDataset train builders, UnifiedTestDataset split builders).
+# ---------------------------------------------------------------------------
+
+ORDINALS = (
+    "first", "second", "third", "fourth", "fifth",
+    "sixth", "seventh", "eighth", "ninth", "tenth",
+)
+
+
+def avs_seg_video_instruction(th: str) -> str:
+    """ms3/s4 train + full-split eval prompt: video+audio spans with an
+    ordinal (``unified_dataset.py:315,448`` train; ``:1546`` test).
+    Note the reference's ms3 TEST builder hardcodes 'third' for every
+    frame while s4 varies the ordinal — replicated deliberately."""
+    return _AV_PREFIX + (
+        "Please recognize the category of object making sound in the video, "
+        f"and then segment out the object that makes the sound at the {th} "
+        "second of the video."
+    )
+
+
+def avss_eval_instruction() -> str:
+    """AVSS full-split prompt (``unified_dataset.py:1597``)."""
+    return _IA_PREFIX + (
+        "Please recognize the category of the object making the sound in "
+        "the image and segment it out."
+    )
+
+
+def avss_train_output(a_obj: str, th: str, mask_token: str) -> str:
+    return (
+        f"The object making the sound in the video is {a_obj}. The mask of "
+        f"the object that makes the sound at the {th} second is "
+        f"<mask_start>{mask_token}<mask_end>"
+    )
+
+
+def arig_train_instruction() -> str:
+    """(``unified_dataset.py:521``)."""
+    return _IA_PREFIX + (
+        "Please recognize the category of object that makes the sound and "
+        "then output its location coordinates."
+    )
+
+
+def arig_eval_instruction() -> str:
+    """Full-split variant: 'the' instead of 'its'
+    (``unified_dataset.py:1632``)."""
+    return _IA_PREFIX + (
+        "Please recognize the category of object that makes the sound and "
+        "then output the location coordinates."
+    )
+
+
+def ref_avs_train_instruction(exp: str, th: str) -> str:
+    """(``unified_dataset.py:662``)."""
+    return _AV_PREFIX + (
+        f"Please segment out {exp.lower()} at the {th} second in the video."
+    )
+
+
+def ref_avs_train_output(exp: str, obj: str, th: str, mask_token: str) -> str:
+    return (
+        f"At the {th} second in the video, {exp} is {obj}. "
+        f"Its mask is <mask_start>{mask_token}<mask_end>"
+    )
+
+
+def ref_avs_eval_instruction(exp: str) -> str:
+    """Full-split prompt: video+audio+image spans + referential expression
+    (``unified_dataset.py:1725``)."""
+    return (
+        _AV_PREFIX
+        + f"This is an image:\n{IMAGE_SPAN}\n"
+        + "Please segment out the corresponding object in the image based "
+        f"on the referential expression: {exp}"
+    )
+
+
+def avcap_eval_instruction() -> str:
+    """Full-split variant drops 'and audio' (``unified_dataset.py:1697``)."""
+    return _AV_PREFIX + "Please describe this video."
+
+
 def s4_train_output(a_obj: str, mask_token: str) -> str:
     return (
         f"The object making the sound in the video is {a_obj}. The mask of the "

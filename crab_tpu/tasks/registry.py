@@ -41,6 +41,10 @@ class TaskSpec:
     # train-time instruction when the reference words it differently from
     # the test builder (None -> same as `instruction`)
     train_instruction: Callable[..., str] = None
+    # train-time media recipe override (None -> same as `media`); the
+    # reference's UnifiedDataset train builders feed e.g. 5-frame videos
+    # where quick_start feeds single frames
+    train_media: Callable[[dict], dict] = None
 
 
 def _video(sample, image_size=224):
@@ -132,7 +136,10 @@ TASKS: Dict[str, TaskSpec] = {
         metric="text",
     ),
     "arig": TaskSpec(
-        "arig", lambda s: prompts.arig_instruction(), _arig_media, _IA1, metric="box"
+        "arig", lambda s: prompts.arig_instruction(), _arig_media, _IA1,
+        metric="box",
+        # train builder words it differently (unified_dataset.py:521)
+        train_instruction=lambda s: prompts.arig_train_instruction(),
     ),
     "s4": TaskSpec(
         "s4",
@@ -142,6 +149,10 @@ TASKS: Dict[str, TaskSpec] = {
         is_avs=True,
         max_new_tokens=100,
         metric="mask",
+        # train surface: 5-frame video + 5 audio windows, frame 0 /
+        # 'first' only (unified_dataset.py:326-363)
+        train_instruction=lambda s: prompts.avs_seg_video_instruction("first"),
+        train_media=lambda s: _avs_train_media(s, 5),
     ),
     "ms3": TaskSpec(
         "ms3",
@@ -151,6 +162,11 @@ TASKS: Dict[str, TaskSpec] = {
         is_avs=True,
         max_new_tokens=100,
         metric="mask",
+        # train surface: per-frame ordinal (unified_dataset.py:268-322)
+        train_instruction=lambda s: prompts.avs_seg_video_instruction(
+            prompts.ORDINALS[min(s.get("idx", 0), 9)]
+        ),
+        train_media=lambda s: _avs_train_media(s, 5),
     ),
     "avss": TaskSpec(
         "avss",
@@ -161,6 +177,12 @@ TASKS: Dict[str, TaskSpec] = {
         avss_head=True,
         max_new_tokens=100,
         metric="mask71",
+        # train surface: 10-frame video + 10 audio windows, random frame
+        # picked at annotation-build time (unified_dataset.py:428-445)
+        train_instruction=lambda s: prompts.avs_seg_video_instruction(
+            prompts.ORDINALS[min(s.get("idx", 0), 9)]
+        ),
+        train_media=lambda s: _avs_train_media(s, 10, avss=True),
     ),
     "ref-avs": TaskSpec(
         "ref-avs",
@@ -170,8 +192,31 @@ TASKS: Dict[str, TaskSpec] = {
         is_avs=True,
         max_new_tokens=100,
         metric="mask",
+        # train surface (unified_dataset.py:658-678)
+        train_instruction=lambda s: prompts.ref_avs_train_instruction(
+            s["exp"], prompts.ORDINALS[min(s.get("idx", 0), 9)]
+        ),
+        train_media=lambda s: _avs_train_media(s, 10),
     ),
 }
+
+
+def _avs_train_media(sample, total_seconds, avss=False):
+    """Reference AVS train recipe (unified_dataset.py:955-1085): video
+    from the clip's frame stills + relative audio windows. The current
+    frame feeds the seg head ('seg_image'); its mask is ALWAYS loaded
+    here — the reference ships that commented out (quirk SURVEY §2.6.2)."""
+    audio = load_audio(sample["audio_path"])
+    paths = sample.get("image_path_list") or [sample["image_path"]] * total_seconds
+    out = {
+        "video": np.stack([load_image(p) for p in paths]),
+        "audio": chunk_windows_1s(audio, total_seconds),
+        "seg_image": _image(sample),
+    }
+    if sample.get("mask_path"):
+        loader = load_avss_label_mask if avss else load_binary_mask
+        out["mask"] = loader(sample["mask_path"])
+    return out
 
 AVS_TASKS = ("ms3", "s4", "avss", "ref-avs")
 
@@ -262,6 +307,164 @@ TASKS.update(
             "lvis_seg", _pt_lvis_instruction, _pt_lvis_media,
             {"<image>": QUERY_TOKENS}, is_avs=True, max_new_tokens=100,
             metric="mask",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Full-split eval tasks — the UnifiedTestDataset surface
+# (``dataset/unified_dataset.py:1274-2261``). Same models, different
+# prompts/media than the bundled quick-start examples:
+#   - ms3/s4: video (5 frame stills) + audio (5 relative windows) in the
+#     prompt; the CURRENT frame feeds the seg head only ('seg_image' —
+#     the reference computes multi-scale features from X_modals['<image>']
+#     without splicing it, unified_arch.py:229-251);
+#   - avss: image+audio (the idx-th tenth) with the 'recognize the
+#     category' wording;
+#   - ref-avs: video(10)+audio(10)+image prompt with the referential
+#     expression;
+#   - avqa/ave/avvp/avcap: relative equal-part audio windows.
+# Records come from tasks/splits.py builders or hand-written JSONs with
+# the same keys.
+# ---------------------------------------------------------------------------
+
+
+def _stills(paths, image_size=224):
+    return np.stack([load_image(p, image_size) for p in paths])
+
+
+def _ms3_s4_eval_media(sample):
+    audio = load_audio(sample["audio_path"])
+    out = {
+        "video": _stills(sample["image_path_list"]),
+        "audio": chunk_windows_1s(audio, 5),  # 5 relative windows
+        "seg_image": _image(sample),  # current frame -> seg taps only
+    }
+    if sample.get("mask_path"):
+        out["mask"] = load_binary_mask(sample["mask_path"])
+    return out
+
+
+def _avss_eval_media(sample):
+    audio = load_audio(sample["audio_path"])
+    out = {
+        "image": _image(sample),
+        "audio": chunk_single_second(audio, sample.get("idx", 0), 10)[None],
+    }
+    if sample.get("mask_path"):
+        out["mask"] = load_avss_label_mask(sample["mask_path"])
+    return out
+
+
+def _ref_avs_eval_media(sample):
+    audio = load_audio(sample["audio_path"])
+    out = {
+        "video": _stills(sample["image_path_list"]),
+        "audio": chunk_windows_1s(audio, 10),
+        "image": _image(sample),  # spliced (prompt has an image span)
+    }
+    if sample.get("mask_path"):
+        out["mask"] = load_binary_mask(sample["mask_path"])
+    return out
+
+
+def _arig_eval_media(sample):
+    audio = load_audio(sample["audio_path"])
+    return {
+        "image": _image(sample),
+        "audio": chunk_single_second(
+            audio, sample.get("idx", 0), sample.get("tot", 5)
+        )[None],
+    }
+
+
+def _ordinal(sample):
+    return prompts.ORDINALS[min(sample.get("idx", 0), 9)]
+
+
+_V5A5 = {"<video>": 5 * QUERY_TOKENS, "<audio>": 5 * QUERY_TOKENS}
+
+TASKS.update(
+    {
+        # identical prompt to quick-start; audio = 10 relative windows of
+        # the full clip (unified_dataset.py:1860-1885) instead of the
+        # 2s-stride-6 sampling
+        "avqa-eval": TaskSpec(
+            "avqa-eval",
+            lambda s: prompts.avqa_instruction(s["question"]),
+            lambda s: {
+                "video": _video(s),
+                "audio": chunk_windows_1s(load_audio(s["audio_path"]), 10),
+            },
+            _AV,
+            metric="text",
+        ),
+        "ave-eval": TaskSpec(
+            "ave-eval", lambda s: prompts.ave_instruction(), _ave_avvp_media,
+            _AV, metric="text",
+        ),
+        "avvp-eval": TaskSpec(
+            "avvp-eval",
+            lambda s: prompts.avvp_train_instruction(),  # test builder uses
+            # the train wording for full splits (unified_dataset.py:1427)
+            _ave_avvp_media,
+            _AV,
+            metric="f1",
+        ),
+        "avcap-eval": TaskSpec(
+            "avcap-eval", lambda s: prompts.avcap_eval_instruction(),
+            _ave_avvp_media, _AV, metric="text",
+        ),
+        "ms3-eval": TaskSpec(
+            "ms3-eval",
+            # the reference's ms3 TEST builder hardcodes 'third'
+            # (unified_dataset.py:1546); s4 varies the ordinal
+            lambda s: prompts.avs_seg_video_instruction("third"),
+            _ms3_s4_eval_media,
+            _V5A5,
+            is_avs=True,
+            max_new_tokens=100,
+            metric="mask",
+        ),
+        "s4-eval": TaskSpec(
+            "s4-eval",
+            lambda s: prompts.avs_seg_video_instruction(_ordinal(s)),
+            _ms3_s4_eval_media,
+            _V5A5,
+            is_avs=True,
+            max_new_tokens=100,
+            metric="mask",
+        ),
+        "avss-eval": TaskSpec(
+            "avss-eval",
+            lambda s: prompts.avss_eval_instruction(),
+            _avss_eval_media,
+            _IA1,
+            is_avs=True,
+            avss_head=True,
+            max_new_tokens=100,
+            metric="mask71",
+        ),
+        "ref-avs-eval": TaskSpec(
+            "ref-avs-eval",
+            lambda s: prompts.ref_avs_eval_instruction(s["exp"]),
+            _ref_avs_eval_media,
+            {
+                "<video>": VIDEO_FRAMES * QUERY_TOKENS,
+                "<audio>": VIDEO_FRAMES * QUERY_TOKENS,
+                "<image>": QUERY_TOKENS,
+            },
+            is_avs=True,
+            max_new_tokens=100,
+            metric="mask",
+        ),
+        "arig-eval": TaskSpec(
+            "arig-eval",
+            lambda s: prompts.arig_eval_instruction(),
+            _arig_eval_media,
+            _IA1,
+            metric="box",
         ),
     }
 )

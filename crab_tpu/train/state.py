@@ -221,14 +221,26 @@ def make_train_step(
         media = batch["media"]
         parts = []
         seg_taps = None
+        # seg_image: frame that feeds ONLY the seg head, never the prompt
+        # (the reference computes multi-scale features from
+        # X_modals['<image>'] without splicing it — unified_arch.py:229-251)
+        taps_external = "seg_image" in media
         if "audio" in media:
             parts.append(encode_audio(params, cfg, media["audio"]))
         if "video" in media:
-            tok, seg_taps = encode_video(params, cfg, media["video"], avs)
+            tok, taps = encode_video(
+                params, cfg, media["video"], avs and not taps_external
+            )
+            seg_taps = taps if taps is not None else seg_taps
             parts.append(tok)
         if "image" in media:
-            tok, seg_taps = encode_video(params, cfg, media["image"], avs)
+            tok, taps = encode_video(
+                params, cfg, media["image"], avs and not taps_external
+            )
+            seg_taps = taps if taps is not None else seg_taps
             parts.append(tok)
+        if avs and taps_external:
+            _, seg_taps = encode_video(params, cfg, media["seg_image"], True)
         bank = jnp.concatenate(parts, axis=1)
         B, stride, D = bank.shape
         emb = splice_from_arrays(

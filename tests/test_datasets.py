@@ -105,21 +105,9 @@ def test_collator_feeds_train_step(annotations):
     batch = next(b for b in task_batches(ds, col, batch_size=2) if "gt_mask" in b)
     # tiny vision expects its own image size; collator media is 224 — the
     # train pipeline resizes on host like the engine does
-    import cv2
+    from crab_tpu.cli.train import _fit_batch_media
 
-    size = CFG.vision.image_size
-    batch["media"]["image"] = np.stack(
-        [
-            np.stack([cv2.resize(f, (size, size)) for f in frames])
-            for frames in batch["media"]["image"]
-        ]
-    ).astype(np.uint8)
-    batch["gt_mask"] = np.stack(
-        [
-            cv2.resize(m, (CFG.seg.output_mask_size,) * 2, interpolation=cv2.INTER_NEAREST)
-            for m in batch["gt_mask"]
-        ]
-    )
+    batch = _fit_batch_media(batch, CFG)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     params = init_crab(jax.random.PRNGKey(0), CFG)
