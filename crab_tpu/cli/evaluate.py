@@ -56,6 +56,8 @@ def main(argv=None):
     from crab_tpu.cli import score as scorer
 
     task = TASKS[args.task]
+    # '-eval' variants (full-split prompts) score like their base task
+    base_task = args.task.removesuffix("-eval")
     cfg, special, chat_style, eos_id = select_model(args)
     if args.kv_quant:
         import dataclasses
@@ -126,7 +128,7 @@ def main(argv=None):
                         gt = load_binary_mask(rec["mask_path"])
                         row["miou"] = M.mask_iou(logits[:1], gt)
                         row["fscore"] = M.eval_fmeasure(logits[:1], gt)
-                        if args.task == "ref-avs" and rec.get("null", False):
+                        if base_task == "ref-avs" and rec.get("null", False):
                             row["null_s"] = M.metric_s_for_null(logits[:1])
                     from crab_tpu.media.masks import save_mask_png
 
@@ -141,8 +143,8 @@ def main(argv=None):
     summary: Dict = {"task": args.task, "n": len(records), "clips_per_s": len(records)/max(wall, 1e-9)}
     if task.avss_head:
         summary.update(M.avss_summarize(miou_sum, fsc_sum, cls_cnt))
-    elif args.task in scorer.SCORERS:
-        summary.update(scorer.SCORERS[args.task](scorer._load(fp)))
+    elif base_task in scorer.SCORERS:
+        summary.update(scorer.SCORERS[base_task](scorer._load(fp)))
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary, indent=1))

@@ -80,3 +80,28 @@ def test_video_decode_seek():
     assert frames.shape == (10, 224, 224, 3)
     # frames differ over time (seek actually moved)
     assert float(frames.astype(np.float32).std(axis=0).mean()) > 1.0
+
+
+def test_make_annotations_and_eval_split_cli(tmp_path):
+    """Official layout -> make_annotations -> evaluate on the full-split
+    ms3-eval task (video-of-stills prompt + taps-only seg_image)."""
+    from crab_tpu.cli.evaluate import main as eval_main
+    from crab_tpu.cli.make_annotations import main as ann_main
+    from tests.test_splits import _fake_avsbench
+
+    root = str(tmp_path / "AVS")
+    _fake_avsbench(root)
+    ann = str(tmp_path / "ms3_test.json")
+    recs = ann_main(["--task", "ms3", "--root", root, "--split", "test",
+                     "--out", ann])
+    assert len(recs) == 5
+    out = str(tmp_path / "eval_ms3")
+    summary = eval_main(
+        ["--task", "ms3-eval", "--annotations", ann, "--random-init",
+         "--tiny", "--out", out, "--batch-size", "5", "--limit", "5",
+         "--score-unfound"]
+    )
+    assert summary["n"] == 5
+    assert "miou" in summary
+    rows = [json.loads(l) for l in open(os.path.join(out, "infer_results.jsonl"))]
+    assert len(rows) == 5 and "fscore" in rows[0]
