@@ -74,9 +74,22 @@ def main(argv=None):
     if args.limit:
         records = records[: args.limit]
     # AVS tasks run batch 1 in the reference (inference_hyper_lora.py:1477);
-    # we batch them too, but keep batches task-homogeneous by construction
-    B = args.batch_size
-    batches = [records[i: i + B] for i in range(0, len(records), B)]
+    # we batch them too, but keep batches task-homogeneous by construction.
+    # Tasks with per-frame media (ms3/s4 full splits) group by clip so the
+    # shared video/audio encode runs ONCE per clip (engine.run_clip).
+    clip_mode = task.frame_media is not None and task.clip_key is not None
+    if clip_mode:
+        batches = []
+        for rec in records:
+            k = task.clip_key(rec)
+            if batches and batches[-1][0] == k:
+                batches[-1][1].append(rec)
+            else:
+                batches.append((k, [rec]))
+        batches = [g for _, g in batches]
+    else:
+        B = args.batch_size
+        batches = [records[i: i + B] for i in range(0, len(records), B)]
 
     os.makedirs(args.out, exist_ok=True)
     mask_dir = os.path.join(args.out, "pred_masks")
@@ -87,8 +100,12 @@ def main(argv=None):
     fsc_sum = np.zeros(71)
     cls_cnt = np.zeros(71)
     t0 = time.time()
+    if clip_mode:
+        outputs = (engine.run_clip(args.task, g) for g in batches)
+    else:
+        outputs = engine.run_stream(args.task, batches)
     with open(fp, "w") as f:
-        for out, batch in zip(engine.run_stream(args.task, batches), batches):
+        for out, batch in zip(outputs, batches):
             for i, rec in enumerate(batch):
                 row = {k: v for k, v in rec.items() if isinstance(v, (str, int, float, list))}
                 row["predict"] = out.texts[i]

@@ -220,6 +220,78 @@ class InferenceEngine:
         """Run one batch of same-task samples end to end."""
         return self._finalize(self._dispatch(task_name, samples))
 
+    def run_clip(self, task_name: str, records: List[Dict]) -> EngineOutput:
+        """Encode-once inference over one clip's per-frame records.
+
+        For tasks with ``frame_media`` (ms3/s4 full splits) the 5-still
+        video and audio windows are identical across a clip's records; the
+        reference re-runs CLIP and BEATs on them for every frame
+        (``inference_hyper_lora.py`` per-sample loop). Here the shared
+        media is encoded once and the bank tiled across the batch — only
+        the tiny per-frame seg_image encode runs per record."""
+        task = TASKS[task_name]
+        assert task.frame_media is not None, f"{task_name} has no frame_media"
+        B = len(records)
+        shared = self._fit_media(
+            {
+                k: v
+                for k, v in task.media(records[0]).items()
+                if k not in ("seg_image", "mask")
+            }
+        )
+        frames = [self._fit_media(task.frame_media(r)) for r in records]
+        lens = {}
+        if "audio" in shared:
+            lens["<audio>"] = (
+                shared["audio"].shape[0] * self.cfg.al_projector.num_query_tokens
+            )
+        for key in ("video", "image"):
+            if key in shared:
+                lens[f"<{key}>"] = (
+                    shared[key].shape[0] * self.cfg.vl_projector.num_query_tokens
+                )
+        specs = []
+        for r in records:
+            ids = np.asarray(self.tokenizer.encode(self.chat(task.instruction(r))), np.int64)
+            specs.append(SampleSpec(ids, dict(lens), None, task.name))
+        batch = build_splice_batch(
+            specs, self.special, pad_to=self._pad_len(specs, task), pad_id=self.pad_id
+        )
+        shared_batch = {k: jnp.asarray(v[None]) for k, v in shared.items()}
+        head = "avss" if task.avss_head else "binary"
+        encode_fn, gen_fn, _ = self._program_for(
+            tuple(sorted(shared_batch)), False, head
+        )
+        bank1, _ = encode_fn(self.params, shared_batch)  # (stride, D)
+        bank = jnp.tile(bank1, (B, 1))
+        res = gen_fn(
+            self.params["decoder"],
+            bank,
+            jnp.asarray(batch.text_ids),
+            jnp.asarray(batch.feat_idx),
+            jnp.asarray(batch.attention_mask),
+            jnp.asarray(batch.position_ids),
+            task.max_new_tokens,
+        )
+        masks = found = None
+        if task.is_avs:
+            taps_fn, seg_fn = self._clip_seg_programs(head)
+            seg_imgs = jnp.asarray(np.stack([f["seg_image"] for f in frames]))
+            seg_taps = taps_fn(self.params, seg_imgs)
+            masks, found = seg_fn(self.params["seg"], res.tokens, res.hidden, seg_taps)
+        return self._finalize((res, masks, found))
+
+    def _clip_seg_programs(self, head: str):
+        key = ("clip-seg", head)
+        if key not in self._programs:
+            cfg = self.cfg
+
+            def taps(params, seg_imgs):
+                return encode_video(params, cfg, seg_imgs, True)[1]
+
+            self._programs[key] = (jax.jit(taps), self._make_seg(head))
+        return self._programs[key]
+
     def run_stream(self, task_name: str, batches) -> List[EngineOutput]:
         """Pipelined execution over many batches.
 

@@ -45,6 +45,13 @@ class TaskSpec:
     # reference's UnifiedDataset train builders feed e.g. 5-frame videos
     # where quick_start feeds single frames
     train_media: Callable[[dict], dict] = None
+    # per-frame media parts (seg_image/mask) when all other media is
+    # shared across a clip's records — enables the engine's encode-once
+    # clip path (the reference re-encodes the identical 5-frame video and
+    # audio for every frame of an AVS clip)
+    frame_media: Callable[[dict], dict] = None
+    # groups records of one clip for the clip path
+    clip_key: Callable[[dict], tuple] = None
 
 
 def _video(sample, image_size=224):
@@ -369,6 +376,20 @@ def _ref_avs_eval_media(sample):
     return out
 
 
+def _avs_frame_media(sample):
+    """Per-frame parts of the ms3/s4 full-split recipe — everything else
+    (the 5-still video + 5 audio windows) is identical across a clip's
+    records and is encoded once on the engine's clip path."""
+    out = {"seg_image": _image(sample)}
+    if sample.get("mask_path"):
+        out["mask"] = load_binary_mask(sample["mask_path"])
+    return out
+
+
+def _avs_clip_key(sample):
+    return (sample["audio_path"], tuple(sample.get("image_path_list", ())))
+
+
 def _arig_eval_media(sample):
     audio = load_audio(sample["audio_path"])
     return {
@@ -426,6 +447,8 @@ TASKS.update(
             is_avs=True,
             max_new_tokens=100,
             metric="mask",
+            frame_media=_avs_frame_media,
+            clip_key=_avs_clip_key,
         ),
         "s4-eval": TaskSpec(
             "s4-eval",
@@ -435,6 +458,8 @@ TASKS.update(
             is_avs=True,
             max_new_tokens=100,
             metric="mask",
+            frame_media=_avs_frame_media,
+            clip_key=_avs_clip_key,
         ),
         "avss-eval": TaskSpec(
             "avss-eval",

@@ -256,3 +256,46 @@ def test_train_collator_uses_train_surface(tmp_path):
     st, metrics = step(st, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["mask_loss"]))
+
+
+def test_run_clip_matches_per_record(tmp_path):
+    """The encode-once clip path must produce the same tokens/masks as
+    running each record independently."""
+    import jax
+
+    from crab_tpu.core.config import crab_tiny
+    from crab_tpu.fusion.tokens import SpecialTokens
+    from crab_tpu.runtime.engine import InferenceEngine
+    from crab_tpu.runtime.model import init_crab
+
+    root = str(tmp_path / "AVS")
+    _fake_avsbench(root)
+    recs = ms3_split(root, "test")
+    # distinct frame stills so per-frame seg taps actually differ
+    for i, r in enumerate(recs):
+        img = np.full((32, 32, 3), 40 * i, np.uint8)
+        import cv2
+
+        cv2.imwrite(r["image_path"], img)
+
+    cfg = crab_tiny()
+    special = SpecialTokens(base_vocab=400)
+    params = init_crab(jax.random.PRNGKey(0), cfg)
+
+    class Tok:
+        def encode(self, t):
+            import zlib
+
+            return [7 + (zlib.crc32(w.encode()) % 300) for w in t.split()]
+
+        def decode(self, ids):
+            return " ".join(map(str, ids))
+
+    engine = InferenceEngine(cfg, params, Tok(), special, eos_id=2)
+    clip_out = engine.run_clip("ms3-eval", recs)
+    per_out = engine.run("ms3-eval", recs)
+    np.testing.assert_array_equal(clip_out.tokens, per_out.tokens)
+    np.testing.assert_allclose(
+        clip_out.masks, per_out.masks, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(clip_out.mask_found, per_out.mask_found)
