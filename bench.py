@@ -59,8 +59,13 @@ def main():
     import dataclasses
 
     cfg = crab_7b().replace(compute_dtype=DECODE_DTYPE, param_dtype=DECODE_DTYPE)
-    # int8 KV cache (Pallas decode attention): enables batch 8 on one chip
-    cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, kv_quant=True))
+    # KV cache dtype: measured on-chip (tools/micro_ablate.py), bf16 KV +
+    # XLA decode attention is 15.9 ms/step vs 22.2 with the int8-KV Pallas
+    # kernel at S~=832/batch 8 — the kernel's grid is overhead-bound at
+    # short S; it remains the right call for long-S memory headroom.
+    # bf16 cache at batch 8, S<=1204 fits alongside int8 weights.
+    kv_quant = os.environ.get("CRAB_BENCH_KVQ", "0") == "1"
+    cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, kv_quant=kv_quant))
     special = SpecialTokens(base_vocab=32000)
 
     t0 = time.time()
@@ -106,8 +111,10 @@ def main():
             return " ".join(str(i) for i in ids)
 
     engine = InferenceEngine(
-        cfg, params, BenchTokenizer(), special, eos_id=2, pad_id=0
+        cfg, params, BenchTokenizer(), special, eos_id=2, pad_id=0,
+        pack_donate=True,  # single-copy HBM peak while packing the 7B
     )
+    del params  # the donated tree is dead; drop the reference
 
     # AVQA-shape bench task: same media recipe shapes, fixed 64-step decode
     bench_task = registry.TaskSpec(
@@ -161,9 +168,7 @@ def main():
     sb = build_splice_batch(
         specs, special, pad_to=engine._pad_len(specs, task), pad_id=engine.pad_id
     )
-    media_batch = {
-        k: jnp.asarray(np.stack([m[k] for m in medias])) for k in medias[0]
-    }
+    media_batch = engine._media_batch(medias)
     encode_fn, gen_fn, _ = engine._program_for(
         tuple(sorted(media_batch)), False, "binary"
     )

@@ -85,6 +85,7 @@ def generate(
         attention_mask=full_mask,
         position_ids=position_ids,
         cache=cache,
+        last_logit_only=True,  # skip the (B, T, V) fp32 logits tensor
     )
     last_logits = logits[:, -1]  # (B, V)
     rng, k0 = jax.random.split(rng)

@@ -184,8 +184,13 @@ def llama_apply(
     collect_routes: bool = False,
     remat: bool = False,
     dropout_rng: Optional[jnp.ndarray] = None,
+    last_logit_only: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[KVCache], Optional[dict]]:
     """Returns (logits fp32, last_hidden, new_cache, route_telemetry).
+
+    ``last_logit_only``: compute lm_head on the final position only —
+    generate's prefill needs just that token, and the full (B, T, V)
+    fp32 logits tensor at 7B/T=704 is ~720 MB of pure HBM traffic.
 
     Without a cache: full causal self-attention over T (prefill/training);
     attention_mask is (B, T) padding mask. With a cache: T new tokens are
@@ -238,32 +243,53 @@ def llama_apply(
         # step — measured ~2x decode-step cost at 7B.
         x, *cache_bufs = carry
         layer_params, layer_idx = inputs
+        packed = "qkv" in layer_params
         h = rms_norm(layer_params["attn_norm"], x, cfg.rms_norm_eps)
         out = {}
-        has_lora = lora_cfg is not None and "lora" in layer_params["q"]
+        attn_p = layer_params["qkv" if packed else "q"]
+        has_lora = lora_cfg is not None and "lora" in attn_p
         collect = collect_routes and has_lora
         dkeys = {}
         if dropout_rng is not None and has_lora and lora_cfg.dropout > 0.0:
+            if packed:
+                raise ValueError(
+                    "packed decoder layout is inference-only; train on the "
+                    "canonical layout (lm/pack.py)"
+                )
             names = ("q", "k", "v", "o", "gate", "up", "down")
             dkeys = dict(
                 zip(names, jax.random.split(jax.random.fold_in(dropout_rng, layer_idx), 7))
             )
-        q, q_route = _proj(
-            layer_params["q"], h, lora_cfg, dkeys.get("q"), route_out=True
-        )
+        qd = cfg.num_heads * cfg.head_dim
+        kvd = cfg.num_kv_heads * cfg.head_dim
+        if packed:
+            from crab_tpu.lm.pack import packed_proj
+
+            qkv, routes3 = packed_proj(layer_params["qkv"], h, lora_cfg, 3)
+            q = qkv[..., :qd]
+            k = qkv[..., qd : qd + kvd]
+            v = qkv[..., qd + kvd :]
+            if collect and routes3 is not None:
+                out["q"] = routes3[..., 0, :].astype(jnp.float32)
+                out["k"] = routes3[..., 1, :].astype(jnp.float32)
+                out["v"] = routes3[..., 2, :].astype(jnp.float32)
+        else:
+            q, q_route = _proj(
+                layer_params["q"], h, lora_cfg, dkeys.get("q"), route_out=True
+            )
+            k, k_route = _proj(
+                layer_params["k"], h, lora_cfg, dkeys.get("k"), route_out=True
+            )
+            v, v_route = _proj(
+                layer_params["v"], h, lora_cfg, dkeys.get("v"), route_out=True
+            )
+            if collect:
+                out["q"] = q_route.astype(jnp.float32)
+                out["k"] = k_route.astype(jnp.float32)
+                out["v"] = v_route.astype(jnp.float32)
         q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
-        k, k_route = _proj(
-            layer_params["k"], h, lora_cfg, dkeys.get("k"), route_out=True
-        )
         k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-        v, v_route = _proj(
-            layer_params["v"], h, lora_cfg, dkeys.get("v"), route_out=True
-        )
         v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-        if collect:
-            out["q"] = q_route.astype(jnp.float32)
-            out["k"] = k_route.astype(jnp.float32)
-            out["v"] = v_route.astype(jnp.float32)
         q, k = _apply_rope(q, k, cos, sin)
 
         if quant_cache:
@@ -331,8 +357,13 @@ def llama_apply(
         x = x + o
 
         h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
-        gate = _proj(layer_params["gate"], h, lora_cfg, dkeys.get("gate"))
-        up = _proj(layer_params["up"], h, lora_cfg, dkeys.get("up"))
+        if packed:
+            gu, _ = packed_proj(layer_params["gu"], h, lora_cfg, 2)
+            I = cfg.intermediate_size
+            gate, up = gu[..., :I], gu[..., I:]
+        else:
+            gate = _proj(layer_params["gate"], h, lora_cfg, dkeys.get("gate"))
+            up = _proj(layer_params["up"], h, lora_cfg, dkeys.get("up"))
         x = x + _proj(
             layer_params["down"], jax.nn.silu(gate) * up, lora_cfg, dkeys.get("down")
         )
@@ -358,7 +389,8 @@ def llama_apply(
     )
 
     x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    head_in = x[:, -1:] if last_logit_only else x
+    logits = (head_in @ params["lm_head"]).astype(jnp.float32)
 
     new_cache = None
     if quant_cache:

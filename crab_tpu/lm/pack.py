@@ -1,0 +1,156 @@
+"""Packed serving layout for the decoder: fuse QKV and gate/up.
+
+A decode step at 7B is bandwidth/op-count bound, not FLOP bound: the
+canonical layout issues 7 projection matmuls plus 7x3 small MoE-LoRA
+matmuls per layer (measured 22 ms/step at batch 8 vs a ~10 ms HBM floor,
+see tools/README.md). q/k/v share the same input, as do gate/up, so the
+serving path concatenates their weights once at load time:
+
+  - base:  w_qkv (D, qd+2*kvd), w_gu (D, 2*I) — 7 big matmuls -> 4
+  - LoRA:  route_cat (D, n*E), A_cat (D, n*r)  — 3n small matmuls -> 2+n
+           tiny (E,r,out) expert contractions
+
+The math is identical (every output channel's reduction is unchanged —
+column concatenation only groups independent dot products), verified
+token-exact by tests/test_pack.py. Training and checkpoints stay on the
+canonical layout; ``pack_decoder`` is a pure load-time transform the
+InferenceEngine applies by default.
+
+Reference surface covered: this replaces nothing in the reference (HF
+torch issues separate q/k/v Linears — ``peft_hyper/tuners/lora.py:338``);
+it is TPU-serving engineering on top of the same semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from crab_tpu.core.config import DecoderConfig
+
+_ATTN = ("q", "k", "v")
+_MLP = ("gate", "up")
+
+
+def _delete_buffers(tree) -> None:
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array):
+            try:
+                leaf.delete()
+            except Exception:
+                pass  # committed to multiple shardings / already deleted
+
+
+def _pack_group(members: Sequence[Dict], donate: bool = False) -> Dict:
+    """Concatenate a group of projection params along the output axis.
+
+    Members are stacked per-layer dicts: w (L, in, out) or w_q/w_s
+    (int8 + (L, 1, out) scales), optional b (L, out), optional lora
+    {route (L, in, E), A (L, in, r), B (L, E, r, out)}.
+    """
+    out: Dict = {}
+    if "w_q" in members[0]:
+        out["w_q"] = jnp.concatenate([m["w_q"] for m in members], axis=-1)
+        out["w_s"] = jnp.concatenate([m["w_s"] for m in members], axis=-1)
+    else:
+        out["w"] = jnp.concatenate([m["w"] for m in members], axis=-1)
+    if "b" in members[0]:
+        out["b"] = jnp.concatenate([m["b"] for m in members], axis=-1)
+    if "lora" in members[0]:
+        loras = [m["lora"] for m in members]
+        packed = {
+            "route": jnp.concatenate([l["route"] for l in loras], axis=-1),
+            "A": jnp.concatenate([l["A"] for l in loras], axis=-1),
+        }
+        outs = {l["B"].shape[-1] for l in loras}
+        if len(outs) == 1:
+            # uniform expert out-dim (LLaMA): one stacked (L, n, E, r, out)
+            packed["B"] = jnp.stack([l["B"] for l in loras], axis=1)
+        else:
+            # GQA (Qwen2): per-member expert tensors, contracted separately
+            for i, l in enumerate(loras):
+                packed[f"B{i}"] = l["B"]
+        out["lora"] = packed
+    if donate:
+        # free the source buffers group-by-group so packing a 7B on a
+        # 16 GB chip peaks at (full set + one group), not 2x. A scalar
+        # fetch (not block_until_ready) forces materialization — some
+        # remote backends (axon relay) execute lazily on data demand.
+        import numpy as _np
+
+        for leaf in jax.tree_util.tree_leaves(out):
+            if isinstance(leaf, jax.Array):
+                _np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+        _delete_buffers(list(members))
+    return out
+
+
+def pack_decoder(
+    decoder_params: Dict, cfg: DecoderConfig, donate: bool = False
+) -> Dict:
+    """Canonical decoder tree -> packed serving tree (load-time).
+
+    Idempotent: returns the input unchanged if already packed.
+    ``donate``: delete the q/k/v/gate/up source device buffers as each
+    packed group materializes — the caller's param tree becomes unusable,
+    but peak HBM stays near the single-copy footprint (required to pack a
+    7B in int8 on one 16 GB chip).
+    """
+    layers = decoder_params["layers"]
+    if "qkv" in layers:
+        return decoder_params
+    new_layers = {
+        k: v for k, v in layers.items() if k not in _ATTN + _MLP
+    }
+    new_layers["qkv"] = _pack_group([layers[n] for n in _ATTN], donate)
+    new_layers["gu"] = _pack_group([layers[n] for n in _MLP], donate)
+    out = dict(decoder_params)
+    out["layers"] = new_layers
+    return out
+
+
+def packed_proj(p: Dict, x: jnp.ndarray, lora_cfg, n: int):
+    """Apply a packed projection. Returns (y (..., sum_out), routes or None).
+
+    routes: (..., n, E) fp32-softmaxed router weights per member, for
+    telemetry slicing (same values the canonical path produces).
+    """
+    if "w_q" in p:
+        y = jnp.dot(x, p["w_q"].astype(x.dtype)) * p["w_s"].astype(x.dtype)[0]
+    else:
+        y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    routes = None
+    if lora_cfg is not None and "lora" in p:
+        lp = p["lora"]
+        E, r = lora_cfg.num_experts, lora_cfg.rank
+        lead = x.shape[:-1]
+        routes = jax.nn.softmax(
+            (x @ lp["route"].astype(x.dtype))
+            .reshape(*lead, n, E)
+            .astype(jnp.float32),
+            axis=-1,
+        ).astype(x.dtype)
+        a = (x @ lp["A"].astype(x.dtype)).reshape(*lead, n, r)
+        weighted = routes[..., None] * a[..., None, :]  # (..., n, E, r) tiny
+        if "B" in lp:
+            delta = jnp.einsum(
+                "...ner,nerd->...nd", weighted, lp["B"].astype(x.dtype)
+            ).reshape(*lead, -1)
+        else:
+            delta = jnp.concatenate(
+                [
+                    jnp.einsum(
+                        "...er,erd->...d",
+                        weighted[..., i, :, :],
+                        lp[f"B{i}"].astype(x.dtype),
+                    )
+                    for i in range(n)
+                ],
+                axis=-1,
+            )
+        y = y + delta * lora_cfg.scaling
+    return y, routes

@@ -61,8 +61,22 @@ class InferenceEngine:
         pad_id: int = 0,
         seq_bucket: int = 64,
         mesh=None,
+        pack: bool = True,
+        pack_donate: bool = False,
     ):
         self.cfg = cfg
+        if pack and "layers" in params.get("decoder", {}):
+            # serving layout: fuse q/k/v and gate/up weights (and their
+            # LoRA route/A matmuls) — token-identical, fewer/bigger
+            # matmuls per decode step (lm/pack.py). pack_donate frees the
+            # caller's q/k/v/gate/up buffers (single-copy peak HBM; the
+            # input tree becomes unusable).
+            from crab_tpu.lm.pack import pack_decoder
+
+            params = dict(params)
+            params["decoder"] = pack_decoder(
+                params["decoder"], cfg.decoder, donate=pack_donate
+            )
         if mesh is not None and mesh.size > 1:
             # multi-chip serving: shard the decoder TP over 'model' and
             # FSDP over 'data'; pjit propagates through all programs
@@ -257,7 +271,7 @@ class InferenceEngine:
         batch = build_splice_batch(
             specs, self.special, pad_to=self._pad_len(specs, task), pad_id=self.pad_id
         )
-        shared_batch = {k: jnp.asarray(v[None]) for k, v in shared.items()}
+        shared_batch = self._media_batch([shared])
         head = "avss" if task.avss_head else "binary"
         encode_fn, gen_fn, _ = self._program_for(
             tuple(sorted(shared_batch)), False, head
@@ -311,6 +325,22 @@ class InferenceEngine:
             outs.append(self._finalize(pending))
         return outs
 
+    def _media_batch(self, medias: List[Dict]) -> Dict[str, jnp.ndarray]:
+        """Stack per-sample media and upload. Audio is shipped as PCM16
+        (half the host->device bytes; exact round trip for WAV-sourced
+        audio — encode_audio rescales on device)."""
+        out = {}
+        for k in medias[0]:
+            if k == "mask":
+                continue
+            arr = np.stack([m[k] for m in medias])
+            if k == "audio" and arr.dtype == np.float32:
+                arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(
+                    np.int16
+                )
+            out[k] = jnp.asarray(arr)
+        return out
+
     def _dispatch(self, task_name: str, samples: List[Dict]):
         """Host work + async device dispatch; no synchronization."""
         task = TASKS[task_name]
@@ -326,11 +356,7 @@ class InferenceEngine:
             pad_to=self._pad_len(specs, task),
             pad_id=self.pad_id,
         )
-        media_batch = {
-            k: jnp.asarray(np.stack([m[k] for m in medias]))
-            for k in medias[0]
-            if k != "mask"
-        }
+        media_batch = self._media_batch(medias)
         media_keys = tuple(sorted(media_batch.keys()))
         head = "avss" if task.avss_head else "binary"
         encode_fn, gen_fn, seg_fn = self._program_for(media_keys, task.is_avs, head)
@@ -382,11 +408,7 @@ class InferenceEngine:
         batch = build_splice_batch(
             specs, self.special, pad_to=self._pad_len(specs, task), pad_id=self.pad_id
         )
-        media_batch = {
-            k: jnp.asarray(np.stack([m[k] for m in medias]))
-            for k in medias[0]
-            if k != "mask"
-        }
+        media_batch = self._media_batch(medias)
         bank, _ = self._make_encode(False)(self.params, media_batch)
         emb = splice_from_arrays(
             self.params["decoder"]["embed"],

@@ -77,7 +77,14 @@ def encode_audio(
     (``dataset/audio_processor.py``) is gone.
     """
     B, T, _ = waveforms.shape
-    fb = beats_normalize(kaldi_fbank(waveforms * 32768.0, fbank_cfg))
+    if waveforms.dtype == jnp.int16:
+        # compact H2D transport (engine ships PCM16 — exact for WAV
+        # sources, halves audio upload bytes through the host link);
+        # kaldi_fbank expects int16-scale floats, so this IS the *32768
+        w = waveforms.astype(jnp.float32)
+    else:
+        w = waveforms * 32768.0
+    fb = beats_normalize(kaldi_fbank(w, fbank_cfg))
     fb = fb.reshape((B * T,) + fb.shape[2:]).astype(jnp.dtype(cfg.compute_dtype))
     feats = beats_apply(params["audio"], fb, cfg.audio)
     feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])

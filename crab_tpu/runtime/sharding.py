@@ -44,6 +44,22 @@ def decoder_layer_specs(fsdp: bool = True) -> Dict[str, Any]:
         }
         return d
 
+    # packed serving layout (lm/pack.py): column-parallel like its members
+    # (output channels are independent, so the concat boundary need not
+    # align with the model-axis shards); packed lora B is (L, n, E, r, out)
+    packed = {
+        "w": col,
+        "b": P(None, "model"),
+        "lora": {
+            "route": P(),
+            "A": P(),
+            "B": P(None, None, None, None, "model"),
+            "B0": P(None, None, None, "model"),
+            "B1": P(None, None, None, "model"),
+            "B2": P(None, None, None, "model"),
+        },
+    }
+
     return {
         "attn_norm": {"scale": P()},
         "mlp_norm": {"scale": P()},
@@ -54,6 +70,8 @@ def decoder_layer_specs(fsdp: bool = True) -> Dict[str, Any]:
         "gate": proj(col, lora_out=True),
         "up": proj(col, lora_out=True),
         "down": proj(row, lora_out=False),
+        "qkv": packed,
+        "gu": packed,
     }
 
 

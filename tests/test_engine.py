@@ -194,3 +194,24 @@ def test_engine_sharded_mesh(monkeypatch):
     a = base.run("tiny-mesh", samples)
     b = sharded.run("tiny-mesh", samples)
     np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_audio_pcm16_h2d_exact(engine):
+    """The engine ships audio as PCM16 (half the H2D bytes); for
+    PCM16-representable sources (all WAV data) the device-side rescale in
+    encode_audio reproduces the float pipeline exactly."""
+    import jax.numpy as jnp
+
+    from crab_tpu.runtime.model import encode_audio
+
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32767, (1, 2, 16000), np.int64)
+    f32 = (pcm / 32768.0).astype(np.float32)
+
+    mb = engine._media_batch([{"audio": f32[0]}])
+    assert mb["audio"].dtype == jnp.int16
+    np.testing.assert_array_equal(np.asarray(mb["audio"][0]), pcm[0].astype(np.int16))
+
+    a = encode_audio(engine.params, engine.cfg, jnp.asarray(f32))
+    b = encode_audio(engine.params, engine.cfg, mb["audio"])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
