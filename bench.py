@@ -31,6 +31,8 @@ A100_BASELINE_CLIPS_PER_SEC = 0.25  # analytic estimate, see docstring
 MAX_NEW_TOKENS = 64
 DECODE_DTYPE = "bfloat16"
 BATCH = int(os.environ.get("CRAB_BENCH_BATCH", "8"))  # reference NTP batch is 8
+# weight bits: 4 is blocked on a jax client bug (see lm/quant.py docstring)
+WBITS = int(os.environ.get("CRAB_BENCH_WBITS", "8"))
 
 
 def main():
@@ -93,7 +95,7 @@ def main():
                 ks[3], cfg.al_projector, cfg.decoder.hidden_size, jnp.bfloat16
             ),
             # AVQA path doesn't touch the seg head
-            "decoder": init_llama_int8(ks[4], cfg.decoder),
+            "decoder": init_llama_int8(ks[4], cfg.decoder, bits=WBITS),
         }
 
     params = init_all(jax.random.PRNGKey(0))

@@ -1,12 +1,21 @@
-"""Weight-only int8 quantization for the decoder.
+"""Weight-only int8/int4 quantization for the decoder.
 
 Serving a 7B decoder on a single 16 GB v5e chip doesn't fit in bf16
 (13.5 GB weights + KV cache + encoders > ~15 GiB usable). Per-output-
 channel symmetric int8 halves the weight footprint (6.7 GB) and doubles
 decode arithmetic intensity — the standard single-chip serving recipe.
+int4 (bits=4) halves it again in principle: the XLA *compiler* packs s4
+(E(4) layout) and fuses the weight straight into the convolution
+(tools/micro_int4.py), but the current jax client crashes
+(RecursionError) whenever a real s4 array is a jit argument — on both
+backends — and the nibble-packed-uint8 + in-program bitcast workaround
+materializes the unpacked copy (tools/micro_int4b.py: 45 MB temp, 11 ms
+vs 0.6 ms for int8). bits=4 is therefore kept as tested math with no
+user-facing flag until the client supports s4 buffers (or a Pallas
+W4A16 kernel lands).
 
-Quantized projections store ``w_q`` (int8, same layout as ``w``) and
-``w_s`` (fp32 per-out-channel scale); ``llama._proj`` computes
+Quantized projections store ``w_q`` (int8/int4, same layout as ``w``)
+and ``w_s`` (fp32 per-out-channel scale); ``llama._proj`` computes
 ``(x @ w_q) * w_s`` so the scale fuses into the matmul epilogue and no
 dequantized copy is materialized in HBM.
 """
@@ -21,22 +30,32 @@ import jax.numpy as jnp
 QUANT_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
 
 
-def quantize_weight(w: jnp.ndarray):
-    """(..., in, out) -> int8 weights + (..., 1, out) fp32 scales."""
+def _qmax(bits: int) -> int:
+    assert bits in (8, 4), bits
+    return 127 if bits == 8 else 7
+
+
+def _qdtype(bits: int):
+    return jnp.int8 if bits == 8 else jnp.int4
+
+
+def quantize_weight(w: jnp.ndarray, bits: int = 8):
+    """(..., in, out) -> int8/int4 weights + (..., 1, out) fp32 scales."""
+    qm = _qmax(bits)
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.where(amax > 0, amax / qm, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -qm, qm).astype(_qdtype(bits))
     return q, scale
 
 
-def init_llama_int8(key, cfg, dtype=jnp.bfloat16) -> Dict:
-    """Random-init a decoder directly in int8 weights.
+def init_llama_int8(key, cfg, dtype=jnp.bfloat16, bits: int = 8) -> Dict:
+    """Random-init a decoder directly in int8/int4 weights.
 
     Quantizing a fully materialized bf16 7B on-device needs ~2x transient
     HBM and OOMs a 16 GB chip; benchmarks and smoke tests that don't load
-    real checkpoints should start int8 from the outset. Real checkpoints
-    quantize on host (numpy) layer by layer instead.
+    real checkpoints should start quantized from the outset. Real
+    checkpoints quantize on host (numpy) layer by layer instead.
     """
     from crab_tpu.core.layers import normal_init, rms_norm_init
     from crab_tpu.lm.lora import init_moe_lora
@@ -55,11 +74,14 @@ def init_llama_int8(key, cfg, dtype=jnp.bfloat16) -> Dict:
         "attn_norm": {"scale": jnp.ones((L, D), dtype)},
         "mlp_norm": {"scale": jnp.ones((L, D), dtype)},
     }
+    qm = _qmax(bits)
     for i, (name, (din, dout)) in enumerate(dims.items()):
         kk = jax.random.fold_in(key, 1000 + i)
         p = {
-            "w_q": jax.random.randint(kk, (L, din, dout), -127, 128, dtype=jnp.int8),
-            "w_s": jnp.full((L, 1, dout), 0.02 / 127.0, jnp.float32),
+            "w_q": jax.random.randint(
+                kk, (L, din, dout), -qm, qm + 1, dtype=jnp.int8
+            ).astype(_qdtype(bits)),
+            "w_s": jnp.full((L, 1, dout), 0.02 / qm, jnp.float32),
         }
         if cfg.attention_bias and name in ("q", "k", "v"):
             p["b"] = jnp.zeros((L, dout), dtype)
@@ -78,31 +100,32 @@ def init_llama_int8(key, cfg, dtype=jnp.bfloat16) -> Dict:
     }
 
 
-def quantize_decoder_host(decoder_params: Dict, keys=QUANT_KEYS) -> Dict:
+def quantize_decoder_host(decoder_params: Dict, keys=QUANT_KEYS, bits: int = 8) -> Dict:
     """Host (numpy) per-projection quantization for real checkpoints.
 
     Runs one stacked weight at a time on the CPU, so the device never
-    holds the bf16 and int8 copies simultaneously (quantizing a fully
-    materialized 7B on-device needs ~2x transient HBM).
+    holds the bf16 and quantized copies simultaneously (quantizing a
+    fully materialized 7B on-device needs ~2x transient HBM).
     """
     import numpy as np
 
+    qm = _qmax(bits)
     out = dict(decoder_params)
     layers = dict(out["layers"])
     for k in keys:
         p = dict(layers[k])
         w = np.asarray(jax.device_get(p.pop("w")), np.float32)
         amax = np.abs(w).max(axis=-2, keepdims=True)
-        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-        p["w_q"] = jnp.asarray(q)
+        scale = np.where(amax > 0, amax / qm, 1.0).astype(np.float32)
+        q = np.clip(np.round(w / scale), -qm, qm).astype(np.int8)
+        p["w_q"] = jnp.asarray(q).astype(_qdtype(bits))
         p["w_s"] = jnp.asarray(scale)
         layers[k] = p
     out["layers"] = layers
     return out
 
 
-def quantize_decoder(decoder_params: Dict, keys=QUANT_KEYS) -> Dict:
+def quantize_decoder(decoder_params: Dict, keys=QUANT_KEYS, bits: int = 8) -> Dict:
     """Replace 'w' with ('w_q', 'w_s') for the chosen projections.
 
     Embeddings, lm_head, norms and LoRA stay in their original dtype
@@ -112,7 +135,7 @@ def quantize_decoder(decoder_params: Dict, keys=QUANT_KEYS) -> Dict:
     layers = dict(out["layers"])
     for k in keys:
         p = dict(layers[k])
-        q, s = jax.jit(quantize_weight)(p.pop("w"))
+        q, s = jax.jit(quantize_weight, static_argnames="bits")(p.pop("w"), bits)
         p["w_q"], p["w_s"] = q, s
         layers[k] = p
     out["layers"] = layers

@@ -306,23 +306,29 @@ class InferenceEngine:
             self._programs[key] = (jax.jit(taps), self._make_seg(head))
         return self._programs[key]
 
-    def run_stream(self, task_name: str, batches) -> List[EngineOutput]:
+    def run_stream(
+        self, task_name: str, batches, depth: int = 2
+    ) -> List[EngineOutput]:
         """Pipelined execution over many batches.
 
-        jax dispatch is async, so building + uploading batch i+1 overlaps
-        with the device executing batch i — this hides the host media
-        stacking and H2D transfer (~0.4 s/batch through this relay) that a
-        synchronous loop pays on the critical path.
+        jax dispatch is async, so building + uploading upcoming batches
+        overlaps with the device executing the current one — this hides
+        the host media stacking and H2D transfer that a synchronous loop
+        pays on the critical path. ``depth`` batches stay in flight;
+        their device footprint is only inputs/outputs (media, token ids),
+        the KV cache is program-local, so depth 2 costs ~20 MB, not a
+        second cache.
         """
+        from collections import deque
+
         outs: List[EngineOutput] = []
-        pending = None
+        pending: deque = deque()
         for samples in batches:
-            handles = self._dispatch(task_name, samples)
-            if pending is not None:
-                outs.append(self._finalize(pending))
-            pending = handles
-        if pending is not None:
-            outs.append(self._finalize(pending))
+            pending.append(self._dispatch(task_name, samples))
+            if len(pending) > depth:
+                outs.append(self._finalize(pending.popleft()))
+        while pending:
+            outs.append(self._finalize(pending.popleft()))
         return outs
 
     def _media_batch(self, medias: List[Dict]) -> Dict[str, jnp.ndarray]:

