@@ -31,7 +31,8 @@ A100_BASELINE_CLIPS_PER_SEC = 0.25  # analytic estimate, see docstring
 MAX_NEW_TOKENS = 64
 DECODE_DTYPE = "bfloat16"
 BATCH = int(os.environ.get("CRAB_BENCH_BATCH", "8"))  # reference NTP batch is 8
-# weight bits: 4 is blocked on a jax client bug (see lm/quant.py docstring)
+# weight bits: 8 = per-channel int8 (XLA mixed conv); 4 = group-int4
+# via the Pallas W4A16 kernel (ops/w4a16_matmul.py)
 WBITS = int(os.environ.get("CRAB_BENCH_WBITS", "8"))
 
 
@@ -74,7 +75,7 @@ def main():
     # encoders in bf16, decoder directly in int8: bf16 7B weights + KV
     # cache + encoders exceed the ~15 GiB usable HBM of one v5e chip
     # (measured); int8 weight-only is the single-chip serving config.
-    from crab_tpu.lm.quant import init_llama_int8
+    from crab_tpu.lm.quant import init_llama_int8, init_llama_w4
     from crab_tpu.encoders.beats import init_beats
     from crab_tpu.encoders.clip_vit import init_clip_vit
     from crab_tpu.encoders.projectors import init_projector
@@ -94,8 +95,13 @@ def main():
             "al_projector": init_projector(
                 ks[3], cfg.al_projector, cfg.decoder.hidden_size, jnp.bfloat16
             ),
-            # AVQA path doesn't touch the seg head
-            "decoder": init_llama_int8(ks[4], cfg.decoder, bits=WBITS),
+            # AVQA path doesn't touch the seg head. WBITS=4: packed
+            # group-int4 layout driving the Pallas W4A16 decode kernel.
+            "decoder": (
+                init_llama_w4(ks[4], cfg.decoder)
+                if WBITS == 4
+                else init_llama_int8(ks[4], cfg.decoder)
+            ),
         }
 
     params = init_all(jax.random.PRNGKey(0))
@@ -233,7 +239,7 @@ def main():
         "metric": "avqa_e2e_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 4),
         "unit": (
-            f"clips/s (7B int8-weight/bf16-act, batch {BATCH}, 10f video "
+            f"clips/s (7B int{WBITS}-weight/bf16-act, batch {BATCH}, 10f video "
             f"+ 10x2s audio, {MAX_NEW_TOKENS} decode steps)"
         ),
         "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),

@@ -115,11 +115,39 @@ def init_llama(key, cfg: DecoderConfig, dtype=jnp.float32) -> Dict[str, Any]:
     return params
 
 
-def _proj(p, x, lora_cfg, dropout_rng=None, route_out=False):
+def _base_proj(p, x):
+    """Base matmul across the storage formats: bf16 'w', int8 'w_q'+'w_s',
+    or group-int4 'w_p'+'w_g' (Pallas kernel on decode-sized row counts,
+    in-graph dequant for prefill — ops/w4a16_matmul.py)."""
+    if "w_p" in p:
+        from crab_tpu.ops.w4a16_matmul import (
+            dequant_w4_xla,
+            w4a16_matmul,
+        )
+
+        lead = x.shape[:-1]
+        D = x.shape[-1]
+        R = 1
+        for s in lead:
+            R *= s
+        group = D // p["w_g"].shape[0]
+        if R <= 256:
+            y = w4a16_matmul(
+                x.reshape(R, D),
+                p["w_p"],
+                p["w_g"],
+                interpret=jax.default_backend() == "cpu",
+                group=group,
+            )
+            return y.reshape(*lead, -1).astype(x.dtype)
+        return x @ dequant_w4_xla(p["w_p"], p["w_g"], x.dtype)
     if "w_q" in p:  # weight-only int8 (lm/quant.py): scale in the epilogue
-        y = jnp.dot(x, p["w_q"].astype(x.dtype)) * p["w_s"].astype(x.dtype)[0]
-    else:
-        y = x @ p["w"]
+        return jnp.dot(x, p["w_q"].astype(x.dtype)) * p["w_s"].astype(x.dtype)[0]
+    return x @ p["w"]
+
+
+def _proj(p, x, lora_cfg, dropout_rng=None, route_out=False):
+    y = _base_proj(p, x)
     if "b" in p:
         y = y + p["b"]
     route = None

@@ -117,10 +117,9 @@ def packed_proj(p: Dict, x: jnp.ndarray, lora_cfg, n: int):
     routes: (..., n, E) fp32-softmaxed router weights per member, for
     telemetry slicing (same values the canonical path produces).
     """
-    if "w_q" in p:
-        y = jnp.dot(x, p["w_q"].astype(x.dtype)) * p["w_s"].astype(x.dtype)[0]
-    else:
-        y = x @ p["w"]
+    from crab_tpu.lm.llama import _base_proj
+
+    y = _base_proj(p, x)
     if "b" in p:
         y = y + p["b"]
     routes = None

@@ -125,6 +125,122 @@ def quantize_decoder_host(decoder_params: Dict, keys=QUANT_KEYS, bits: int = 8) 
     return out
 
 
+def quantize_decoder_host_w4(
+    decoder_params: Dict, keys=None, group: int = 128
+) -> Dict:
+    """Group-int4 (W4A16) host quantization -> 'w_p'/'w_g' params consumed
+    by the Pallas kernel (ops/w4a16_matmul.py). Works on the canonical or
+    the packed (lm/pack.py) layout; pack FIRST so decode keeps the fused
+    matmul count. Pure numpy — never holds two device copies."""
+    import numpy as np
+
+    from crab_tpu.ops.w4a16_matmul import quantize_w4
+
+    layers = decoder_params["layers"]
+    if keys is None:
+        keys = (
+            ("qkv", "gu", "o", "down")
+            if "qkv" in layers
+            else QUANT_KEYS
+        )
+    out = dict(decoder_params)
+    new_layers = dict(layers)
+    for k in keys:
+        p = dict(new_layers[k])
+        w = np.asarray(jax.device_get(p.pop("w")), np.float32)  # (L, D, O)
+        wp_l, wg_l = zip(*(quantize_w4(w[i], group) for i in range(w.shape[0])))
+        p["w_p"] = jnp.asarray(np.stack(wp_l))
+        p["w_g"] = jnp.asarray(np.stack(wg_l))
+        new_layers[k] = p
+    out["layers"] = new_layers
+    return out
+
+
+def init_llama_w4(key, cfg, dtype=jnp.bfloat16, group: int = 128) -> Dict:
+    """Random-init a decoder in the PACKED + group-int4 serving layout
+    (benchmarks/smoke tests; real checkpoints go through
+    pack_decoder -> quantize_decoder_host_w4)."""
+    from crab_tpu.lm.lora import init_moe_lora
+    from crab_tpu.core.layers import normal_init, rms_norm_init
+
+    D = cfg.hidden_size
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    I = cfg.intermediate_size
+    L = cfg.num_layers
+    dims = {
+        "qkv": (D, qd + 2 * kvd, ("q", "k", "v")),
+        "gu": (D, 2 * I, ("gate", "up")),
+        "o": (qd, D, ("o",)),
+        "down": (I, D, ("down",)),
+    }
+    layers: Dict = {
+        "attn_norm": {"scale": jnp.ones((L, D), dtype)},
+        "mlp_norm": {"scale": jnp.ones((L, D), dtype)},
+    }
+    from crab_tpu.ops.w4a16_matmul import effective_group
+
+    for i, (name, (din, dout, members)) in enumerate(dims.items()):
+        g = effective_group(din, group)
+        kk = jax.random.fold_in(key, 2000 + i)
+        p = {
+            "w_p": jax.random.randint(
+                kk, (L, din, dout // 2), 0, 256, dtype=jnp.int32
+            ).astype(jnp.uint8),
+            "w_g": jnp.full(
+                (L, din // g, 2, dout // 2), 0.02 / 7.0, jnp.float32
+            ),
+        }
+        if cfg.attention_bias and name == "qkv":
+            p["b"] = jnp.zeros((L, dout), dtype)
+        if cfg.lora is not None:
+            if len(members) > 1:
+                per = [
+                    [
+                        init_moe_lora(
+                            jax.random.fold_in(kk, 7 + 100 * m + l),
+                            din,
+                            {"q": qd, "k": kvd, "v": kvd, "gate": I, "up": I}[mem],
+                            cfg.lora,
+                            dtype,
+                        )
+                        for l in range(L)
+                    ]
+                    for m, mem in enumerate(members)
+                ]
+                stacked = [
+                    jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *lo)
+                    for lo in per
+                ]
+                lora = {
+                    "route": jnp.concatenate([s["route"] for s in stacked], -1),
+                    "A": jnp.concatenate([s["A"] for s in stacked], -1),
+                }
+                outs = {s["B"].shape[-1] for s in stacked}
+                if len(outs) == 1:
+                    lora["B"] = jnp.stack([s["B"] for s in stacked], axis=1)
+                else:
+                    for m, s in enumerate(stacked):
+                        lora[f"B{m}"] = s["B"]
+                p["lora"] = lora
+            else:
+                loras = [
+                    init_moe_lora(jax.random.fold_in(kk, 7 + l), din, dout, cfg.lora, dtype)
+                    for l in range(L)
+                ]
+                p["lora"] = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *loras
+                )
+        layers[name] = p
+    ks = jax.random.split(key, 2)
+    return {
+        "embed": normal_init(ks[0], (cfg.vocab_size, D), 0.02, dtype),
+        "layers": layers,
+        "final_norm": rms_norm_init(D, dtype),
+        "lm_head": normal_init(ks[1], (D, cfg.vocab_size), 0.02, dtype),
+    }
+
+
 def quantize_decoder(decoder_params: Dict, keys=QUANT_KEYS, bits: int = 8) -> Dict:
     """Replace 'w' with ('w_q', 'w_s') for the chosen projections.
 

@@ -1,4 +1,7 @@
 """Decode-step ablations: slope at (lora on/off) x (kv_quant on/off) x batch."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import time
 

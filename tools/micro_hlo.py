@@ -1,5 +1,8 @@
 """Inspect the optimized HLO of one decode step: does XLA materialize a
 bf16 copy of the int8 weights (convert outside the dot fusion)?"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import re
 import sys
 

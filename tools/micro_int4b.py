@@ -7,6 +7,9 @@ lax.bitcast_convert_type inside the program. This probe checks:
   2. the optimized HLO still feeds the conv an s4 operand (no big temp)
   3. timing at decode shape
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

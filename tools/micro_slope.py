@@ -1,6 +1,9 @@
 """Real decode cost: time the full 7B generate program at two decode
 lengths; the slope is the true per-token device cost (relay overhead and
 prefill cancel in the difference)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import time
 
