@@ -1,0 +1,235 @@
+"""Continuous-batching decode core: per-slot KV lengths, chunked steps.
+
+The batch engine (runtime/engine.py) decodes whole same-shape batches in
+lock-step — the reference's model too (batch 8, one generate call:
+``inference_hyper_lora.py:1477``). Production serving mixes requests of
+different lengths arriving at different times; idling a whole batch on
+its longest member wastes chip time. This module gives the decoder a
+slot abstraction:
+
+  - one persistent (L, N, S_max, ...) KV cache holds N independent
+    sequences, each with its own write index / position / activity bit;
+  - ``cb_prefill`` runs a normal left-padded prefill for ONE request and
+    returns the (L, 1, T_pad, ...) cache slice to deposit into a slot;
+  - ``cb_decode_chunk`` advances ALL active slots K tokens in one
+    compiled program (K amortizes host round trips; slots that hit EOS
+    mid-chunk stop writing and emit pads).
+
+Greedy decoding is token-identical to lm/generate.py for each request
+(tests/test_continuous.py) — continuous batching changes scheduling,
+never results. NTP tasks only; the AVS path (mask-hidden capture) stays
+on the batch engine.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from crab_tpu.core.config import DecoderConfig
+from crab_tpu.core.layers import rms_norm
+from crab_tpu.lm.llama import (
+    KVCache,
+    NEG_INF,
+    _apply_rope,
+    _attention,
+    _proj,
+    _rope,
+    llama_apply,
+)
+
+
+class SlotState(NamedTuple):
+    """Device-side per-slot decode state (host keeps the request map)."""
+
+    k: jnp.ndarray  # (L, N, S_max, Hkv, hd)
+    v: jnp.ndarray  # (L, N, S_max, Hkv, hd)
+    bitmap: jnp.ndarray  # (N, S_max) int32 — attendable cache rows
+    widx: jnp.ndarray  # (N,) int32 — next cache row to write
+    pos: jnp.ndarray  # (N,) int32 — rope position of the next token
+    tok: jnp.ndarray  # (N,) int32 — last emitted token (next input)
+    active: jnp.ndarray  # (N,) bool
+
+    @classmethod
+    def zeros(cls, cfg: DecoderConfig, slots: int, max_len: int, dtype):
+        shape = (cfg.num_layers, slots, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(
+            jnp.zeros(shape, dtype),
+            jnp.zeros(shape, dtype),
+            jnp.zeros((slots, max_len), jnp.int32),
+            jnp.zeros((slots,), jnp.int32),
+            jnp.zeros((slots,), jnp.int32),
+            jnp.zeros((slots,), jnp.int32),
+            jnp.zeros((slots,), bool),
+        )
+
+
+def cb_prefill(
+    params,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,  # (1, T_pad, D) left-padded prompt
+    attention_mask: jnp.ndarray,  # (1, T_pad)
+    position_ids: jnp.ndarray,  # (1, T_pad)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One request's prefill -> (k (L,1,T,Hkv,hd), v, first_tok (1,), next_pos (1,)).
+
+    Reuses the standard prefill path with a T_pad-long cache; the caller
+    deposits the slices into slot rows [0, T_pad) and the bitmap gets the
+    attention mask (left pads stay masked forever — bucketing waste, not
+    correctness)."""
+    T = inputs_embeds.shape[1]
+    cache = KVCache.zeros(cfg, 1, T, inputs_embeds.dtype)
+    logits, _, cache, _ = llama_apply(
+        params,
+        cfg,
+        inputs_embeds,
+        attention_mask=attention_mask,
+        position_ids=position_ids,
+        cache=cache,
+        last_logit_only=True,
+    )
+    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # (1,)
+    next_pos = position_ids[:, -1] + 1
+    return cache.k, cache.v, first, next_pos
+
+
+def deposit(state: SlotState, slot: int, k, v, mask_row, first_tok, next_pos):
+    """Write a prefilled request into slot `slot` (host-driven, jittable)."""
+    T = k.shape[2]
+    return SlotState(
+        k=jax.lax.dynamic_update_slice(state.k, k, (0, slot, 0, 0, 0)),
+        v=jax.lax.dynamic_update_slice(state.v, v, (0, slot, 0, 0, 0)),
+        bitmap=jax.lax.dynamic_update_slice(
+            state.bitmap,
+            jnp.pad(
+                mask_row.astype(jnp.int32),
+                ((0, 0), (0, state.bitmap.shape[1] - T)),
+            ),
+            (slot, 0),
+        ),
+        widx=state.widx.at[slot].set(T),
+        pos=state.pos.at[slot].set(next_pos[0]),
+        tok=state.tok.at[slot].set(first_tok[0]),
+        active=state.active.at[slot].set(True),
+    )
+
+
+def retire(state: SlotState, slot: int) -> SlotState:
+    """Free a slot: clear its bitmap/activity (cache rows are dead data)."""
+    return state._replace(
+        bitmap=state.bitmap.at[slot].set(0),
+        widx=state.widx.at[slot].set(0),
+        active=state.active.at[slot].set(False),
+    )
+
+
+def cb_decode_chunk(
+    params, cfg: DecoderConfig, state: SlotState, chunk: int, eos_id: int,
+    pad_id: int = 0,
+) -> Tuple[SlotState, jnp.ndarray, jnp.ndarray]:
+    """Advance every active slot up to `chunk` tokens in one program.
+
+    Returns (new_state, tokens (N, chunk), emitted (N,)) — ``emitted`` is
+    the count of valid tokens per slot this chunk (a real token may equal
+    pad_id, so the host must use the count, not sentinel values). The
+    first emitted token is the NEXT token after state.tok (state.tok
+    itself was emitted by prefill or the previous chunk)."""
+    N, S = state.bitmap.shape
+    dtype = state.k.dtype
+
+    def step(carry):
+        st, out, emitted, i = carry
+        # the incoming token occupies cache row widx for active slots
+        bitmap = jnp.where(
+            st.active[:, None]
+            & (jnp.arange(S)[None, :] == st.widx[:, None]),
+            1,
+            st.bitmap,
+        )
+        emb = jnp.take(params["embed"], st.tok, axis=0)[:, None, :].astype(dtype)
+        cos, sin = _rope(st.pos[:, None], cfg.head_dim, cfg.rope_theta, dtype)
+        mask = jnp.where(bitmap[:, None, None, :] > 0, 0.0, NEG_INF).astype(
+            jnp.float32
+        )
+
+        def layer_fn(carry_l, inputs):
+            x, kc, vc = carry_l
+            layer_params, layer_idx = inputs
+            packed = "qkv" in layer_params
+            h = rms_norm(layer_params["attn_norm"], x, cfg.rms_norm_eps)
+            qd = cfg.num_heads * cfg.head_dim
+            kvd = cfg.num_kv_heads * cfg.head_dim
+            if packed:
+                from crab_tpu.lm.pack import packed_proj
+
+                qkv, _ = packed_proj(layer_params["qkv"], h, cfg.lora, 3)
+                q, k, v = (
+                    qkv[..., :qd],
+                    qkv[..., qd : qd + kvd],
+                    qkv[..., qd + kvd :],
+                )
+            else:
+                q = _proj(layer_params["q"], h, cfg.lora)
+                k = _proj(layer_params["k"], h, cfg.lora)
+                v = _proj(layer_params["v"], h, cfg.lora)
+            q = q.reshape(N, 1, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(N, 1, cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(N, 1, cfg.num_kv_heads, cfg.head_dim)
+            q, k = _apply_rope(q, k, cos, sin)
+            # per-slot scatter at row widx (frozen for finished slots by
+            # writing into row widx anyway — masked out via bitmap)
+            rows = jnp.arange(N)
+            kc = kc.at[layer_idx, rows, st.widx].set(k[:, 0].astype(dtype))
+            vc = vc.at[layer_idx, rows, st.widx].set(v[:, 0].astype(dtype))
+            k_full = jax.lax.dynamic_index_in_dim(kc, layer_idx, 0, False)
+            v_full = jax.lax.dynamic_index_in_dim(vc, layer_idx, 0, False)
+            attn = _attention(
+                q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads
+            )
+            o = _proj(layer_params["o"], attn, cfg.lora)
+            x = x + o
+            h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
+            if packed:
+                gu, _ = packed_proj(layer_params["gu"], h, cfg.lora, 2)
+                I = cfg.intermediate_size
+                gate, up = gu[..., :I], gu[..., I:]
+            else:
+                gate = _proj(layer_params["gate"], h, cfg.lora)
+                up = _proj(layer_params["up"], h, cfg.lora)
+            x = x + _proj(
+                layer_params["down"], jax.nn.silu(gate) * up, cfg.lora
+            )
+            return (x, kc, vc), None
+
+        (x, kc, vc), _ = jax.lax.scan(
+            layer_fn,
+            (emb, st.k, st.v),
+            (params["layers"], jnp.arange(cfg.num_layers)),
+        )
+        x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+        logits = (x[:, -1] @ params["lm_head"]).astype(jnp.float32)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        emit = jnp.where(st.active, nxt, pad_id)
+        out = jax.lax.dynamic_update_slice(out, emit[:, None], (0, i))
+        emitted = emitted + st.active.astype(jnp.int32)
+        new_active = st.active & (nxt != eos_id)
+        st = SlotState(
+            k=kc,
+            v=vc,
+            bitmap=bitmap,
+            widx=jnp.where(st.active, st.widx + 1, st.widx),
+            pos=jnp.where(st.active, st.pos + 1, st.pos),
+            tok=jnp.where(st.active, nxt, st.tok),
+            active=new_active,
+        )
+        return st, out, emitted, i + 1
+
+    out0 = jnp.full((N, chunk), pad_id, jnp.int32)
+    st, out, emitted, _ = jax.lax.while_loop(
+        lambda c: (c[3] < chunk) & jnp.any(c[0].active),
+        step,
+        (state, out0, jnp.zeros((N,), jnp.int32), jnp.zeros((), jnp.int32)),
+    )
+    return st, out, emitted

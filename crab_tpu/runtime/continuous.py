@@ -1,0 +1,186 @@
+"""Continuous-batching serving engine (slot scheduler over lm/cb.py).
+
+Requests of mixed prompt lengths are admitted into free KV slots the
+moment one opens; all active slots decode together in K-token chunks.
+Unlike the batch engine (whole batch stalls on its longest member) chip
+time follows per-request lengths. Greedy tokens are identical to
+``InferenceEngine.run`` per request — scheduling changes, results don't
+(tests/test_continuous.py).
+
+NTP tasks only; the AVS path (hidden-state capture + seg head) stays on
+the batch engine. Built on the same prompt builder / encoder programs as
+InferenceEngine, so any registered task works.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from crab_tpu.fusion.splice import build_splice_batch
+from crab_tpu.lm.cb import SlotState, cb_decode_chunk, cb_prefill, deposit, retire
+from crab_tpu.runtime.engine import InferenceEngine, splice_from_arrays
+from crab_tpu.tasks.registry import TASKS
+
+
+class _Request:
+    __slots__ = ("idx", "task", "sample", "max_new", "tokens", "slot", "done")
+
+    def __init__(self, idx, task, sample, max_new):
+        self.idx = idx
+        self.task = task
+        self.sample = sample
+        self.max_new = max_new
+        self.tokens: List[int] = []
+        self.slot: Optional[int] = None
+        self.done = False
+
+
+class ContinuousEngine:
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        slots: int = 4,
+        max_len: int = 1024,
+        chunk: int = 16,
+    ):
+        self.engine = engine
+        self.cfg = engine.cfg
+        self.slots = slots
+        self.max_len = max_len
+        self.chunk = chunk
+        self._dtype = engine._dtype
+        self.state = SlotState.zeros(
+            self.cfg.decoder, slots, max_len, self._dtype
+        )
+        self._prefill_programs: Dict = {}
+        cfgd = self.cfg.decoder
+
+        def _chunk(params, state):
+            return cb_decode_chunk(
+                params["decoder"], cfgd, state, self.chunk,
+                engine.eos_id, engine.pad_id,
+            )
+
+        self._chunk_fn = jax.jit(_chunk)
+        self._deposit = jax.jit(deposit, static_argnames="slot")
+        self._retire = jax.jit(retire, static_argnames="slot")
+
+    # -- prefill: encode + splice + prompt forward, one program per bucket
+    def _prefill_for(self, media_keys, t_pad):
+        key = (media_keys, t_pad)
+        if key not in self._prefill_programs:
+            engine = self.engine
+            cfg = self.cfg
+
+            def fn(params, media, text_ids, feat_idx, attn, pos):
+                bank, _ = engine._encode_bank(params, media, False)
+                emb = splice_from_arrays(
+                    params["decoder"]["embed"], text_ids, feat_idx, bank
+                ).astype(self._dtype)
+                return cb_prefill(params["decoder"], cfg.decoder, emb, attn, pos)
+
+            self._prefill_programs[key] = jax.jit(fn)
+        return self._prefill_programs[key]
+
+    def _admit(self, req: _Request, slot: int):
+        engine = self.engine
+        task = TASKS[req.task]
+        spec, media = engine.build_sample(task, req.sample)
+        sb = build_splice_batch(
+            [spec],
+            engine.special,
+            pad_to=engine._pad_len([spec], task),
+            pad_id=engine.pad_id,
+        )
+        t_pad = sb.text_ids.shape[1]
+        if t_pad + req.max_new > self.max_len:
+            raise ValueError(
+                f"prompt {t_pad} + max_new {req.max_new} exceeds slot length "
+                f"{self.max_len}"
+            )
+        media_batch = engine._media_batch([media])
+        fn = self._prefill_for(tuple(sorted(media_batch)), t_pad)
+        k, v, first, next_pos = fn(
+            engine.params,
+            media_batch,
+            jnp.asarray(sb.text_ids),
+            jnp.asarray(sb.feat_idx),
+            jnp.asarray(sb.attention_mask),
+            jnp.asarray(sb.position_ids),
+        )
+        self.state = self._deposit(
+            self.state, slot, k, v, jnp.asarray(sb.attention_mask), first, next_pos
+        )
+        first_tok = int(np.asarray(first)[0])
+        req.tokens.append(first_tok)
+        req.slot = slot
+        if first_tok == engine.eos_id or req.max_new <= 1:
+            self._finish(req)
+
+    def _finish(self, req: _Request):
+        req.done = True
+        if req.slot is not None:
+            self.state = self._retire(self.state, req.slot)
+            req.slot = None
+
+    def run(
+        self, requests: List[Dict], default_max_new: Optional[int] = None
+    ) -> List[str]:
+        """Process a request list to completion; returns texts in order.
+
+        Each request: {"task": name, "sample": {...}, "max_new": int?}.
+        """
+        reqs = []
+        for i, r in enumerate(requests):
+            task = TASKS[r["task"]]
+            if task.is_avs:
+                raise ValueError(
+                    "AVS tasks need hidden-state capture — use "
+                    "InferenceEngine.run"
+                )
+            mn = r.get("max_new") or default_max_new or task.max_new_tokens
+            reqs.append(_Request(i, r["task"], r["sample"], mn))
+
+        queue = list(reqs)
+        by_slot: Dict[int, _Request] = {}
+
+        def free_slots():
+            used = set(by_slot)
+            return [s for s in range(self.slots) if s not in used]
+
+        while queue or by_slot:
+            # admit as many as fit
+            for s in free_slots():
+                if not queue:
+                    break
+                req = queue.pop(0)
+                self._admit(req, s)
+                if not req.done:
+                    by_slot[s] = req
+            if not by_slot:
+                continue
+            self.state, out, emitted = self._chunk_fn(
+                self.engine.params, self.state
+            )
+            out = np.asarray(out)  # (N, chunk) — sync point, once per chunk
+            emitted = np.asarray(emitted)
+            for s, req in list(by_slot.items()):
+                for t in out[s, : emitted[s]]:
+                    req.tokens.append(int(t))
+                    if (
+                        int(t) == self.engine.eos_id
+                        or len(req.tokens) >= req.max_new
+                    ):
+                        break
+                if req.tokens and (
+                    req.tokens[-1] == self.engine.eos_id
+                    or len(req.tokens) >= req.max_new
+                ):
+                    self._finish(req)
+                    del by_slot[s]
+        return [self.engine._decode(np.asarray(r.tokens)) for r in reqs]

@@ -1,0 +1,138 @@
+"""Continuous-batching engine: token parity with the batch engine.
+
+Scheduling (slot admission, chunked decode, mid-stream retirement) must
+never change greedy results — every request's text equals what
+InferenceEngine.run produces for it alone.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+import jax
+
+from crab_tpu.core.config import crab_tiny
+from crab_tpu.fusion.tokens import SpecialTokens
+from crab_tpu.runtime.continuous import ContinuousEngine
+from crab_tpu.runtime.engine import InferenceEngine
+from crab_tpu.runtime.model import init_crab
+from crab_tpu.tasks import prompts
+from crab_tpu.tasks.registry import TaskSpec
+
+CFG = crab_tiny(vocab_size=400 + 17)
+SPECIAL = SpecialTokens(base_vocab=400)
+
+
+class StubTokenizer:
+    def __init__(self, special):
+        self.special = special
+
+    def encode(self, text):
+        out = []
+        for w in text.replace(">", "> ").replace("<", " <").split():
+            if w in self.special.token_to_id:
+                out.append(self.special.token_to_id[w])
+            else:
+                out.append(3 + (zlib.crc32(w.encode()) % 300))
+        return out
+
+    def decode(self, ids):
+        return " ".join(f"t{i}" for i in ids)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = init_crab(jax.random.PRNGKey(0), CFG)
+    return InferenceEngine(
+        CFG, params, StubTokenizer(SPECIAL), SPECIAL, eos_id=399, seq_bucket=32
+    )
+
+
+def _instruction(s):
+    return (
+        "This is an image:\n<image_start><image><image_end>\n"
+        "This is an audio:\n<audio_start><audio><audio_end>\n"
+        f"Please answer this question: {s['question']}"
+    )
+
+
+def _task(name, max_new=7):
+    q = CFG.al_projector.num_query_tokens
+    return TaskSpec(
+        name,
+        _instruction,
+        lambda s: s["_media"],
+        {"<image>": q, "<audio>": q},
+        max_new_tokens=max_new,
+        metric="text",
+    )
+
+
+def _media(rng):
+    return {
+        "image": rng.integers(0, 255, (1, 56, 56, 3)).astype(np.uint8),
+        "audio": rng.standard_normal((1, 16000)).astype(np.float32) * 0.05,
+    }
+
+
+def test_continuous_matches_batch_engine(engine, monkeypatch):
+    from crab_tpu.tasks import registry
+
+    task = _task("tiny-cb")
+    monkeypatch.setitem(registry.TASKS, "tiny-cb", task)
+    rng = np.random.default_rng(11)
+    # different question lengths -> different prompt buckets
+    samples = [
+        {"question": "what sounds first", "_media": _media(rng)},
+        {
+            "question": "which of the instruments on the left side is "
+            "playing louder than the rest of the band right now",
+            "_media": _media(rng),
+        },
+        {"question": "who", "_media": _media(rng)},
+    ]
+    expected = [engine.run("tiny-cb", [s]).texts[0] for s in samples]
+
+    cb = ContinuousEngine(engine, slots=2, max_len=256, chunk=3)
+    got = cb.run([{"task": "tiny-cb", "sample": s} for s in samples])
+    assert got == expected
+    # all slots free at the end
+    assert not bool(np.asarray(cb.state.active).any())
+
+
+def test_continuous_max_new_and_slot_reuse(engine, monkeypatch):
+    from crab_tpu.tasks import registry
+
+    task = _task("tiny-cb2")
+    monkeypatch.setitem(registry.TASKS, "tiny-cb2", task)
+    rng = np.random.default_rng(5)
+    samples = [{"question": f"q {i}", "_media": _media(rng)} for i in range(4)]
+    cb = ContinuousEngine(engine, slots=1, max_len=256, chunk=4)
+    got = cb.run(
+        [{"task": "tiny-cb2", "sample": s, "max_new": 5} for s in samples]
+    )
+    assert len(got) == 4
+    for s, text in zip(samples, got):
+        ref = engine.run("tiny-cb2", [s])
+        ref_ids = [int(t) for t in ref.tokens[0][:5]]
+        assert text == engine._decode(np.asarray(ref_ids))
+
+
+def test_continuous_rejects_avs(engine, monkeypatch):
+    from crab_tpu.tasks import registry
+
+    q = CFG.al_projector.num_query_tokens
+    task = TaskSpec(
+        "tiny-cb-avs",
+        lambda s: prompts.avs_instruction(),
+        lambda s: s["_media"],
+        {"<image>": q, "<audio>": q},
+        is_avs=True,
+        max_new_tokens=8,
+        metric="mask",
+    )
+    monkeypatch.setitem(registry.TASKS, "tiny-cb-avs", task)
+    cb = ContinuousEngine(engine, slots=1, max_len=128, chunk=2)
+    with pytest.raises(ValueError, match="AVS"):
+        cb.run([{"task": "tiny-cb-avs", "sample": {"_media": _media(np.random.default_rng(0))}}])
