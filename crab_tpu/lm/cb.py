@@ -17,8 +17,8 @@ slot abstraction:
 
 Greedy decoding is token-identical to lm/generate.py for each request
 (tests/test_continuous.py) — continuous batching changes scheduling,
-never results. NTP tasks only; the AVS path (mask-hidden capture) stays
-on the batch engine.
+never results. ``capture_hidden`` returns each step's final-norm hidden
+state so the AVS seg head (mask-token hidden capture) works here too.
 """
 
 from __future__ import annotations
@@ -127,20 +127,27 @@ def retire(state: SlotState, slot: int) -> SlotState:
 
 def cb_decode_chunk(
     params, cfg: DecoderConfig, state: SlotState, chunk: int, eos_id: int,
-    pad_id: int = 0,
-) -> Tuple[SlotState, jnp.ndarray, jnp.ndarray]:
+    pad_id: int = 0, capture_hidden: bool = False,
+):
     """Advance every active slot up to `chunk` tokens in one program.
 
-    Returns (new_state, tokens (N, chunk), emitted (N,)) — ``emitted`` is
-    the count of valid tokens per slot this chunk (a real token may equal
-    pad_id, so the host must use the count, not sentinel values). The
-    first emitted token is the NEXT token after state.tok (state.tok
-    itself was emitted by prefill or the previous chunk)."""
+    Returns (new_state, tokens (N, chunk), emitted (N,)[, hidden]) —
+    ``emitted`` is the count of valid tokens per slot this chunk (a real
+    token may equal pad_id, so the host must use the count, not sentinel
+    values). The first emitted token is the NEXT token after state.tok
+    (state.tok itself was emitted by prefill or the previous chunk).
+
+    ``capture_hidden``: also return the final-norm hidden state of each
+    step, (N, chunk, D) — hidden[:, i] is the forward that PROCESSED the
+    token emitted at chunk index i-1 (or state.tok for i=0) and produced
+    the token at index i, i.e. the same alignment as
+    lm/generate.GenerateResult.hidden; the AVS seg head consumes it via
+    capture_mask_hidden."""
     N, S = state.bitmap.shape
     dtype = state.k.dtype
 
     def step(carry):
-        st, out, emitted, i = carry
+        st, out, hid_buf, emitted, i = carry
         # the incoming token occupies cache row widx for active slots
         bitmap = jnp.where(
             st.active[:, None]
@@ -209,6 +216,10 @@ def cb_decode_chunk(
             (params["layers"], jnp.arange(cfg.num_layers)),
         )
         x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
+        if capture_hidden:
+            hid_buf = jax.lax.dynamic_update_slice(
+                hid_buf, x[:, -1][:, None, :], (0, i, 0)
+            )
         logits = (x[:, -1] @ params["lm_head"]).astype(jnp.float32)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         emit = jnp.where(st.active, nxt, pad_id)
@@ -224,12 +235,22 @@ def cb_decode_chunk(
             tok=jnp.where(st.active, nxt, st.tok),
             active=new_active,
         )
-        return st, out, emitted, i + 1
+        return st, out, hid_buf, emitted, i + 1
 
+    D = params["embed"].shape[1]
     out0 = jnp.full((N, chunk), pad_id, jnp.int32)
-    st, out, emitted, _ = jax.lax.while_loop(
-        lambda c: (c[3] < chunk) & jnp.any(c[0].active),
+    hid0 = jnp.zeros((N, chunk, D) if capture_hidden else (N, 0, 0), dtype)
+    st, out, hid, emitted, _ = jax.lax.while_loop(
+        lambda c: (c[4] < chunk) & jnp.any(c[0].active),
         step,
-        (state, out0, jnp.zeros((N,), jnp.int32), jnp.zeros((), jnp.int32)),
+        (
+            state,
+            out0,
+            hid0,
+            jnp.zeros((N,), jnp.int32),
+            jnp.zeros((), jnp.int32),
+        ),
     )
+    if capture_hidden:
+        return st, out, emitted, hid
     return st, out, emitted

@@ -7,9 +7,12 @@ time follows per-request lengths. Greedy tokens are identical to
 ``InferenceEngine.run`` per request — scheduling changes, results don't
 (tests/test_continuous.py).
 
-NTP tasks only; the AVS path (hidden-state capture + seg head) stays on
-the batch engine. Built on the same prompt builder / encoder programs as
-InferenceEngine, so any registered task works.
+AVS tasks are supported too: prefill keeps the request's multi-scale
+seg taps, decode chunks capture the final-norm hidden states, and the
+seg head runs at retirement with the same generate-layout buffers the
+batch engine uses (identical masks asserted in tests). Built on the
+same prompt builder / encoder programs as InferenceEngine, so any
+registered task works.
 """
 
 from __future__ import annotations
@@ -28,9 +31,12 @@ from crab_tpu.tasks.registry import TASKS
 
 
 class _Request:
-    __slots__ = ("idx", "task", "sample", "max_new", "tokens", "slot", "done")
+    __slots__ = (
+        "idx", "task", "sample", "max_new", "tokens", "slot", "done",
+        "is_avs", "seg_taps", "hiddens", "masks", "found",
+    )
 
-    def __init__(self, idx, task, sample, max_new):
+    def __init__(self, idx, task, sample, max_new, is_avs=False):
         self.idx = idx
         self.task = task
         self.sample = sample
@@ -38,6 +44,11 @@ class _Request:
         self.tokens: List[int] = []
         self.slot: Optional[int] = None
         self.done = False
+        self.is_avs = is_avs
+        self.seg_taps = None
+        self.hiddens: List[np.ndarray] = []  # per-chunk (k, D) rows
+        self.masks = None
+        self.found = None
 
 
 class ContinuousEngine:
@@ -58,34 +69,41 @@ class ContinuousEngine:
             self.cfg.decoder, slots, max_len, self._dtype
         )
         self._prefill_programs: Dict = {}
+        self._seg_programs: Dict = {}
         cfgd = self.cfg.decoder
 
-        def _chunk(params, state):
+        def _chunk(params, state, capture):
             return cb_decode_chunk(
                 params["decoder"], cfgd, state, self.chunk,
-                engine.eos_id, engine.pad_id,
+                engine.eos_id, engine.pad_id, capture_hidden=capture,
             )
 
-        self._chunk_fn = jax.jit(_chunk)
+        self._chunk_fn = jax.jit(_chunk, static_argnames="capture")
         self._deposit = jax.jit(deposit, static_argnames="slot")
         self._retire = jax.jit(retire, static_argnames="slot")
 
     # -- prefill: encode + splice + prompt forward, one program per bucket
-    def _prefill_for(self, media_keys, t_pad):
-        key = (media_keys, t_pad)
+    def _prefill_for(self, media_keys, t_pad, avs):
+        key = (media_keys, t_pad, avs)
         if key not in self._prefill_programs:
             engine = self.engine
             cfg = self.cfg
 
             def fn(params, media, text_ids, feat_idx, attn, pos):
-                bank, _ = engine._encode_bank(params, media, False)
+                bank, seg_taps = engine._encode_bank(params, media, avs)
                 emb = splice_from_arrays(
                     params["decoder"]["embed"], text_ids, feat_idx, bank
                 ).astype(self._dtype)
-                return cb_prefill(params["decoder"], cfg.decoder, emb, attn, pos)
+                out = cb_prefill(params["decoder"], cfg.decoder, emb, attn, pos)
+                return out + (seg_taps,)
 
             self._prefill_programs[key] = jax.jit(fn)
         return self._prefill_programs[key]
+
+    def _seg_for(self, head):
+        if head not in self._seg_programs:
+            self._seg_programs[head] = self.engine._make_seg(head)
+        return self._seg_programs[head]
 
     def _admit(self, req: _Request, slot: int):
         engine = self.engine
@@ -104,8 +122,8 @@ class ContinuousEngine:
                 f"{self.max_len}"
             )
         media_batch = engine._media_batch([media])
-        fn = self._prefill_for(tuple(sorted(media_batch)), t_pad)
-        k, v, first, next_pos = fn(
+        fn = self._prefill_for(tuple(sorted(media_batch)), t_pad, req.is_avs)
+        k, v, first, next_pos, seg_taps = fn(
             engine.params,
             media_batch,
             jnp.asarray(sb.text_ids),
@@ -113,6 +131,8 @@ class ContinuousEngine:
             jnp.asarray(sb.attention_mask),
             jnp.asarray(sb.position_ids),
         )
+        if req.is_avs:
+            req.seg_taps = seg_taps
         self.state = self._deposit(
             self.state, slot, k, v, jnp.asarray(sb.attention_mask), first, next_pos
         )
@@ -127,24 +147,55 @@ class ContinuousEngine:
         if req.slot is not None:
             self.state = self._retire(self.state, req.slot)
             req.slot = None
+        if req.is_avs:
+            task = TASKS[req.task]
+            # assemble the generate-layout buffers: tokens[0] from prefill,
+            # hidden[0] = zeros, hidden[i>=1] = forward that processed
+            # tokens[i-1] (same alignment as lm/generate.py)
+            D = self.cfg.decoder.hidden_size
+            L = task.max_new_tokens
+            toks = np.full((1, L), self.engine.pad_id, np.int32)
+            n = min(len(req.tokens), L)
+            toks[0, :n] = req.tokens[:n]
+            hid = np.zeros((1, L, D), np.float32)
+            if req.hiddens:
+                flat = np.concatenate(req.hiddens, axis=0)[: L - 1]
+                hid[0, 1 : 1 + flat.shape[0]] = flat.astype(np.float32)
+            head = "avss" if task.avss_head else "binary"
+            seg_fn = self._seg_for(head)
+            masks, found = seg_fn(
+                self.engine.params["seg"],
+                jnp.asarray(toks),
+                jnp.asarray(hid, self._dtype),
+                req.seg_taps,
+            )
+            req.masks = np.asarray(masks[0])
+            req.found = bool(np.asarray(found)[0])
+            req.seg_taps = None
+            req.hiddens = []
 
     def run(
         self, requests: List[Dict], default_max_new: Optional[int] = None
     ) -> List[str]:
-        """Process a request list to completion; returns texts in order.
+        """Process a request list to completion; returns texts in order."""
+        return [r["text"] for r in self.run_requests(requests, default_max_new)]
+
+    def run_requests(
+        self, requests: List[Dict], default_max_new: Optional[int] = None
+    ) -> List[Dict]:
+        """Full results in submission order.
 
         Each request: {"task": name, "sample": {...}, "max_new": int?}.
+        Returns per request {"text", "tokens"} plus, for AVS tasks,
+        {"masks" (num_classes, H, W) logits, "mask_found" bool}.
         """
         reqs = []
         for i, r in enumerate(requests):
             task = TASKS[r["task"]]
-            if task.is_avs:
-                raise ValueError(
-                    "AVS tasks need hidden-state capture — use "
-                    "InferenceEngine.run"
-                )
             mn = r.get("max_new") or default_max_new or task.max_new_tokens
-            reqs.append(_Request(i, r["task"], r["sample"], mn))
+            reqs.append(
+                _Request(i, r["task"], r["sample"], mn, is_avs=task.is_avs)
+            )
 
         queue = list(reqs)
         by_slot: Dict[int, _Request] = {}
@@ -164,23 +215,42 @@ class ContinuousEngine:
                     by_slot[s] = req
             if not by_slot:
                 continue
-            self.state, out, emitted = self._chunk_fn(
-                self.engine.params, self.state
-            )
+            capture = any(r.is_avs for r in by_slot.values())
+            res = self._chunk_fn(self.engine.params, self.state, capture)
+            if capture:
+                self.state, out, emitted, hid = res
+                hid = np.asarray(hid)
+            else:
+                self.state, out, emitted = res
+                hid = None
             out = np.asarray(out)  # (N, chunk) — sync point, once per chunk
             emitted = np.asarray(emitted)
             for s, req in list(by_slot.items()):
+                taken = 0
                 for t in out[s, : emitted[s]]:
                     req.tokens.append(int(t))
+                    taken += 1
                     if (
                         int(t) == self.engine.eos_id
                         or len(req.tokens) >= req.max_new
                     ):
                         break
+                if req.is_avs and hid is not None and taken:
+                    req.hiddens.append(hid[s, :taken])
                 if req.tokens and (
                     req.tokens[-1] == self.engine.eos_id
                     or len(req.tokens) >= req.max_new
                 ):
                     self._finish(req)
                     del by_slot[s]
-        return [self.engine._decode(np.asarray(r.tokens)) for r in reqs]
+        results: List[Dict] = []
+        for r in reqs:
+            d: Dict = {
+                "text": self.engine._decode(np.asarray(r.tokens)),
+                "tokens": list(r.tokens),
+            }
+            if r.is_avs:
+                d["masks"] = r.masks
+                d["mask_found"] = r.found
+            results.append(d)
+        return results

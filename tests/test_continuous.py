@@ -119,7 +119,9 @@ def test_continuous_max_new_and_slot_reuse(engine, monkeypatch):
         assert text == engine._decode(np.asarray(ref_ids))
 
 
-def test_continuous_rejects_avs(engine, monkeypatch):
+def test_continuous_avs_matches_batch_engine(engine, monkeypatch):
+    """AVS through continuous batching: tokens AND masks match the batch
+    engine (hidden-capture alignment + seg-tap plumbing)."""
     from crab_tpu.tasks import registry
 
     q = CFG.al_projector.num_query_tokens
@@ -133,6 +135,16 @@ def test_continuous_rejects_avs(engine, monkeypatch):
         metric="mask",
     )
     monkeypatch.setitem(registry.TASKS, "tiny-cb-avs", task)
-    cb = ContinuousEngine(engine, slots=1, max_len=128, chunk=2)
-    with pytest.raises(ValueError, match="AVS"):
-        cb.run([{"task": "tiny-cb-avs", "sample": {"_media": _media(np.random.default_rng(0))}}])
+    rng = np.random.default_rng(17)
+    samples = [{"_media": _media(rng)} for _ in range(2)]
+    cb = ContinuousEngine(engine, slots=2, max_len=128, chunk=3)
+    got = cb.run_requests(
+        [{"task": "tiny-cb-avs", "sample": s} for s in samples]
+    )
+    for s, g in zip(samples, got):
+        ref = engine.run("tiny-cb-avs", [s])
+        assert g["text"] == ref.texts[0]
+        assert g["mask_found"] == bool(ref.mask_found[0])
+        np.testing.assert_allclose(
+            g["masks"], np.asarray(ref.masks[0]), rtol=2e-4, atol=2e-4
+        )

@@ -127,6 +127,27 @@ def test_pack_idempotent_and_train_guard():
         )
 
 
+def test_packed_qwen_like_bias_gqa():
+    """Qwen2 shape: GQA + qkv bias — packed bias concat and per-member
+    B0/B1/B2 expert tensors must be token-identical too."""
+    cfg = dataclasses.replace(CFG, attention_bias=True, rope_theta=1e6)
+    params = _params_with_lora(cfg, key=21)
+    # give the biases nonzero values so the concat actually matters
+    for name in ("q", "k", "v"):
+        p = params["layers"][name]
+        p["b"] = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(hash(name) % 1000), p["b"].shape, p["b"].dtype
+        )
+    packed = pack_decoder(params, cfg)
+    assert packed["layers"]["qkv"]["b"].shape[-1] == (
+        cfg.num_heads + 2 * cfg.num_kv_heads
+    ) * cfg.head_dim
+    emb, mask, pos = _inputs(cfg, T=10, key=23)
+    r_ref = generate(params, cfg, emb, mask, pos, max_new_tokens=6, eos_id=-1)
+    r_pkd = generate(packed, cfg, emb, mask, pos, max_new_tokens=6, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(r_ref.tokens), np.asarray(r_pkd.tokens))
+
+
 def test_last_logit_only_matches_full():
     cfg = CFG_MHA
     params = _params_with_lora(cfg, key=9)
