@@ -1,0 +1,132 @@
+"""Serving CLI: JSONL requests in, JSONL results out.
+
+The process-level entry for the serving engines (docs/SERVING.md). Reads
+one JSON request per line from a file or stdin, serves them through
+either the continuous-batching engine (default) or the dynamic-batching
+server, and writes one JSON result per line.
+
+Request line:  {"task": "avqa", "sample": {...}, "max_new": 100}
+Result line:   {"id": i, "task": ..., "predict": text[, "mask_found": b]}
+AVS mask logits are written as <out>/masks/<id>.png when --out is a
+directory (same artifact shape as cli/evaluate.py).
+
+Sample media fields are file paths (video_path/audio_path/image_path...)
+resolved by the task's media recipe — identical schema to the evaluate
+CLI annotations.
+
+Usage:
+  python -m crab_tpu.cli.serve --requests req.jsonl --out served \
+      [checkpoint flags as in quick_start] [--engine continuous|batch] \
+      [--slots 8 --chunk 16 --max-len 1280]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--requests", required=True,
+                   help="JSONL file of requests, or '-' for stdin")
+    p.add_argument("--out", required=True)
+    p.add_argument("--engine", choices=["continuous", "batch"],
+                   default="continuous")
+    p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--max-len", type=int, default=1280)
+    p.add_argument("--llm", choices=["llama", "qwen"], default="llama")
+    p.add_argument("--llama", default="")
+    p.add_argument("--clip", default="")
+    p.add_argument("--beats", default="")
+    p.add_argument("--tokenizer", default="")
+    p.add_argument("--delta", default="")
+    p.add_argument("--avs-delta", default="")
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--kv-quant", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+
+    from crab_tpu.cli.quick_start import (
+        build_params,
+        build_tokenizer,
+        select_model,
+    )
+    from crab_tpu.runtime.engine import InferenceEngine
+
+    cfg, special, chat_style, eos_id = select_model(args)
+    if args.kv_quant:
+        import dataclasses
+
+        cfg = cfg.replace(
+            decoder=dataclasses.replace(cfg.decoder, kv_quant=True)
+        )
+    params = build_params(args, cfg)
+    engine = InferenceEngine(
+        cfg, params, build_tokenizer(args, special), special,
+        chat_style=chat_style, eos_id=eos_id,
+    )
+
+    src = sys.stdin if args.requests == "-" else open(args.requests)
+    requests: List[Dict] = [json.loads(ln) for ln in src if ln.strip()]
+    if src is not sys.stdin:
+        src.close()
+
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.time()
+    if args.engine == "continuous":
+        from crab_tpu.runtime.continuous import ContinuousEngine
+
+        cb = ContinuousEngine(
+            engine, slots=args.slots, max_len=args.max_len, chunk=args.chunk
+        )
+        results = cb.run_requests(requests)
+    else:
+        from crab_tpu.runtime.server import CrabServer
+
+        server = CrabServer(engine, max_batch=args.slots)
+        futs = [server.submit(r["task"], r["sample"]) for r in requests]
+        outs = [f.result() for f in futs]
+        server.shutdown()
+        results = []
+        for o in outs:
+            d: Dict = {"text": o.text, "tokens": list(o.tokens)}
+            if o.mask is not None:
+                d["masks"] = o.mask
+                d["mask_found"] = o.mask_found
+            results.append(d)
+    dt = time.time() - t0
+
+    mask_dir = os.path.join(args.out, "masks")
+    out_path = os.path.join(args.out, "results.jsonl")
+    with open(out_path, "w") as f:
+        for i, (req, res) in enumerate(zip(requests, results)):
+            row = {"id": i, "task": req["task"], "predict": res["text"]}
+            if res.get("masks") is not None:
+                from crab_tpu.media.masks import save_mask_png
+
+                os.makedirs(mask_dir, exist_ok=True)
+                from crab_tpu.tasks.registry import TASKS
+
+                save_mask_png(
+                    res["masks"],
+                    os.path.join(mask_dir, f"{i}.png"),
+                    TASKS[req["task"]].avss_head,
+                )
+                row["mask_found"] = res.get("mask_found")
+                row["mask_path"] = os.path.join(mask_dir, f"{i}.png")
+            f.write(json.dumps(row) + "\n")
+    print(
+        f"served {len(requests)} requests in {dt:.1f}s "
+        f"({len(requests)/max(dt,1e-9):.2f} req/s) -> {out_path}"
+    )
+
+
+if __name__ == "__main__":
+    main()

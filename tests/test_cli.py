@@ -105,3 +105,39 @@ def test_make_annotations_and_eval_split_cli(tmp_path):
     assert "miou" in summary
     rows = [json.loads(l) for l in open(os.path.join(out, "infer_results.jsonl"))]
     assert len(rows) == 5 and "fscore" in rows[0]
+
+
+def test_serve_cli(tmp_path):
+    """Serve CLI end to end on real assets: a mixed NTP+AVS request
+    stream through the continuous engine, JSONL + mask PNG artifacts."""
+    from crab_tpu.cli.serve import main
+
+    requests = [
+        {
+            "task": "arig",
+            "sample": {
+                "audio_path": f"{ASSETS}/arig/audio.wav",
+                "image_path": f"{ASSETS}/arig/1.jpg",
+            },
+            "max_new": 6,
+        },
+        {
+            "task": "s4",
+            "sample": {
+                "audio_path": f"{ASSETS}/s4/audio.wav",
+                "image_path": f"{ASSETS}/s4/0.jpg",
+            },
+            "max_new": 6,
+        },
+    ]
+    req = tmp_path / "req.jsonl"
+    req.write_text("\n".join(json.dumps(r) for r in requests))
+    out = tmp_path / "served"
+    main(["--requests", str(req), "--out", str(out), "--random-init",
+          "--tiny", "--engine", "continuous", "--slots", "2",
+          "--chunk", "3", "--max-len", "256"])
+    rows = [json.loads(l) for l in open(out / "results.jsonl")]
+    assert [r["task"] for r in rows] == ["arig", "s4"]
+    assert rows[0]["predict"] != ""
+    assert rows[1]["mask_found"] is False  # random weights
+    assert os.path.exists(rows[1]["mask_path"])
