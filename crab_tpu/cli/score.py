@@ -178,7 +178,14 @@ def score_avs(records: List[Dict], frames_per_video: int = 5) -> Dict:
     ``compute_miou_from_jsonl`` (``avss_utils.py:348-372``)."""
     by_vid: Dict[str, List[float]] = defaultdict(list)
     fscores = []
+    skipped = 0
     for r in records:
+        if "miou" not in r and "iou" not in r:
+            # evaluate.py writes metric-less rows for samples whose decode
+            # lacked the six <mask_i> tokens (mask_found=False, the
+            # reference's skip semantics) — count, don't crash
+            skipped += 1
+            continue
         vid = r.get("vid") or "/".join(str(r.get("image_path", "?")).split("/")[-3:-1])
         by_vid[vid].append(float(r["miou" if "miou" in r else "iou"]))
         if "fscore" in r:
@@ -188,6 +195,8 @@ def score_avs(records: List[Dict], frames_per_video: int = 5) -> Dict:
         "miou": float(np.mean(list(vid_miou.values()))) if vid_miou else 0.0,
         "videos": len(vid_miou),
     }
+    if skipped:
+        out["skipped_unfound"] = skipped
     if fscores:
         out["fscore"] = float(np.mean(fscores))
     return out

@@ -88,10 +88,28 @@ def main(argv=None):
         )
         results = cb.run_requests(requests)
     else:
+        import dataclasses
+
         from crab_tpu.runtime.server import CrabServer
+        from crab_tpu.tasks.registry import TASKS
+
+        # honor per-request max_new: the dynamic-batching server groups
+        # by task name, so each distinct (task, max_new) pair gets a
+        # registered variant — requests with the same cap batch together
+        def task_for(r):
+            mn = r.get("max_new")
+            base = TASKS[r["task"]]
+            if not mn or mn == base.max_new_tokens:
+                return r["task"]
+            name = f"{r['task']}#mn{mn}"
+            if name not in TASKS:
+                TASKS[name] = dataclasses.replace(
+                    base, name=name, max_new_tokens=mn
+                )
+            return name
 
         server = CrabServer(engine, max_batch=args.slots)
-        futs = [server.submit(r["task"], r["sample"]) for r in requests]
+        futs = [server.submit(task_for(r), r["sample"]) for r in requests]
         outs = [f.result() for f in futs]
         server.shutdown()
         results = []

@@ -31,8 +31,11 @@ import numpy as np
 
 def _fit_batch_media(batch: Dict, cfg) -> Dict:
     """Host-side resize of frames/gt to the configured sizes (mirrors
-    InferenceEngine._fit_media for the train path)."""
+    InferenceEngine._fit_media for the train path: PIL bicubic for
+    frames, so train and eval see identical pixels; cv2 nearest for
+    label masks)."""
     import cv2
+    from PIL import Image
 
     size = cfg.vision.image_size
     media = dict(batch["media"])
@@ -40,10 +43,18 @@ def _fit_batch_media(batch: Dict, cfg) -> Dict:
         if key in media and media[key].shape[2] != size:
             media[key] = np.stack(
                 [
-                    np.stack([cv2.resize(f, (size, size)) for f in frames])
+                    np.stack(
+                        [
+                            np.asarray(
+                                Image.fromarray(f).resize((size, size)),
+                                np.uint8,
+                            )
+                            for f in frames
+                        ]
+                    )
                     for frames in media[key]
                 ]
-            ).astype(np.uint8)
+            )
     batch = dict(batch)
     batch["media"] = media
     if "gt_mask" in batch and batch["gt_mask"].shape[-1] != cfg.seg.output_mask_size:

@@ -67,10 +67,12 @@ def load_audio(path: str, sr: int = TARGET_SR, duration: Optional[float] = None)
     try:
         from crab_tpu.native import binding as _native
 
-        if _native.available():
-            return _native.load_audio(path, sr, duration)
+        native_ok = _native.available()
     except Exception:
-        pass
+        native_ok = False  # only import/build failures fall through —
+        # real decode errors (missing file, corrupt stream) must surface
+    if native_ok:
+        return _native.load_audio(path, sr, duration)
     if not path.lower().endswith(".wav"):
         raise ValueError(
             f"{path}: non-WAV audio needs the native media plane "

@@ -246,14 +246,20 @@ class InferenceEngine:
         task = TASKS[task_name]
         assert task.frame_media is not None, f"{task_name} has no frame_media"
         B = len(records)
+        # gt masks aren't consumed here (evaluate.py re-loads them from
+        # mask_path for scoring) — strip the key so media recipes skip
+        # the PNG decode entirely instead of loading-then-discarding
+        nomask = [
+            {k: v for k, v in r.items() if k != "mask_path"} for r in records
+        ]
         shared = self._fit_media(
             {
                 k: v
-                for k, v in task.media(records[0]).items()
+                for k, v in task.media(nomask[0]).items()
                 if k not in ("seg_image", "mask")
             }
         )
-        frames = [self._fit_media(task.frame_media(r)) for r in records]
+        frames = [self._fit_media(task.frame_media(r)) for r in nomask]
         lens = {}
         if "audio" in shared:
             lens["<audio>"] = (

@@ -104,15 +104,28 @@ def parse_tagged_events(text: str):
     ranges -> [(kind, name, (start, end) | None)]. kind is 'audio',
     'visual' or 'both' (plain <event> counts as audio-visual). The range
     may follow as <range>a-b</range> or as the first two numbers in the
-    text before the next event tag ('from 3 to 7 seconds')."""
+    text before the next event tag ('from 3 to 7 seconds').
+
+    Raw <audio>/<visual> tags are accepted too: AVVP annotation labels
+    ship in that form and the reference renames them to *_event only in
+    the train builder (``unified_dataset.py:241-245``) — the GT side of
+    the offline scorer sees the raw form."""
     out = []
     tags = list(
-        re.finditer(r"<(event|visual_event|audio_event)>(.*?)</\1>", text, re.DOTALL)
+        re.finditer(
+            r"<(event|visual_event|audio_event|audio|visual)>(.*?)</\1>",
+            text,
+            re.DOTALL,
+        )
     )
     for i, m in enumerate(tags):
-        kind = {"event": "both", "visual_event": "visual", "audio_event": "audio"}[
-            m.group(1)
-        ]
+        kind = {
+            "event": "both",
+            "visual_event": "visual",
+            "audio_event": "audio",
+            "visual": "visual",
+            "audio": "audio",
+        }[m.group(1)]
         name = m.group(2).strip()
         tail = text[m.end(): tags[i + 1].start() if i + 1 < len(tags) else len(text)]
         rng_m = re.search(r"<range>(.*?)</range>", tail, re.DOTALL)

@@ -16,11 +16,6 @@ import os
 from os.path import join
 from typing import Dict, List
 
-ORDINALS = (
-    "first", "second", "third", "fourth", "fifth",
-    "sixth", "seventh", "eighth", "ninth", "tenth",
-)
-
 
 def _load_json(path: str):
     with open(path) as f:

@@ -204,3 +204,34 @@ def test_tb_writer_roundtrip(tmp_path):
     for (s, t, v), (es, et, ev) in zip(got, expected):
         assert (s, t) == (es, et)
         np.testing.assert_allclose(v, ev, rtol=1e-6)
+
+
+def test_score_avs_skips_unfound_rows():
+    """evaluate.py (without --score-unfound) writes metric-less rows for
+    samples whose decode lacked the <mask_i> tokens — the scorer must
+    count them, not crash (reference skip semantics)."""
+    from crab_tpu.cli.score import score_avs
+
+    out = score_avs([
+        {"vid": "a", "miou": 0.5, "fscore": 0.6},
+        {"vid": "a", "predict": "no masks here", "mask_found": False},
+    ])
+    assert out["videos"] == 1
+    assert out["skipped_unfound"] == 1
+    assert abs(out["miou"] - 0.5) < 1e-9
+
+
+def test_avvp_bridge_accepts_raw_label_tags():
+    """AVVP annotation labels use raw <audio>/<visual> tags (the
+    reference renames them to *_event only in the train builder); the
+    GT bridge must parse both forms identically."""
+    import numpy as np
+
+    from crab_tpu.tasks.parsers import avvp_text_to_matrices
+
+    raw = "<audio>Speech</audio> from 2 to 5 seconds"
+    renamed = "<audio_event>Speech</audio_event> from 2 to 5 seconds"
+    a1, v1, av1 = avvp_text_to_matrices(raw)
+    a2, v2, av2 = avvp_text_to_matrices(renamed)
+    assert a1.sum() == 3 and np.array_equal(a1, a2)
+    assert np.array_equal(v1, v2) and np.array_equal(av1, av2)
