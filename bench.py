@@ -68,7 +68,15 @@ def main():
     # short S; it remains the right call for long-S memory headroom.
     # bf16 cache at batch 8, S<=1204 fits alongside int8 weights.
     kv_quant = os.environ.get("CRAB_BENCH_KVQ", "0") == "1"
-    cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, kv_quant=kv_quant))
+    # W8A8 prefill (s8xs8 MXU at 2x the bf16 rate): the serving default
+    # here, labeled in the unit string; CRAB_BENCH_A8=0 gives the
+    # bit-conservative W8A16 prefill (DecoderConfig.int8_activations).
+    a8 = os.environ.get("CRAB_BENCH_A8", "1") == "1"
+    cfg = cfg.replace(
+        decoder=dataclasses.replace(
+            cfg.decoder, kv_quant=kv_quant, int8_activations=a8
+        )
+    )
     special = SpecialTokens(base_vocab=32000)
 
     t0 = time.time()
@@ -239,7 +247,9 @@ def main():
         "metric": "avqa_e2e_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 4),
         "unit": (
-            f"clips/s (7B int{WBITS}-weight/bf16-act, batch {BATCH}, 10f video "
+            f"clips/s (7B int{WBITS}-weight/"
+            f"{'int8-act-prefill' if a8 else 'bf16-act'}, batch {BATCH}, "
+            "10f video "
             f"+ 10x2s audio, {MAX_NEW_TOKENS} decode steps)"
         ),
         "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),

@@ -41,6 +41,7 @@ def main(argv=None):
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--kv-quant", action="store_true")
+    p.add_argument("--a8-prefill", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--score-unfound", action="store_true",
                    help="score masks even when the decode lacks the six "
@@ -59,10 +60,12 @@ def main(argv=None):
     # '-eval' variants (full-split prompts) score like their base task
     base_task = args.task.removesuffix("-eval")
     cfg, special, chat_style, eos_id = select_model(args)
-    if args.kv_quant:
+    if args.kv_quant or args.a8_prefill:
         import dataclasses
 
-        cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, kv_quant=True))
+        cfg = cfg.replace(decoder=dataclasses.replace(
+            cfg.decoder, kv_quant=args.kv_quant,
+            int8_activations=args.a8_prefill))
     params = build_params(args, cfg)
     engine = InferenceEngine(
         cfg, params, build_tokenizer(args, special), special,

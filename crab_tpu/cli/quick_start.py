@@ -115,6 +115,9 @@ def main(argv=None):
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decoder (single-chip serving)")
+    p.add_argument("--a8-prefill", action="store_true",
+                   help="W8A8 prefill with int8 weights (2x MXU rate; "
+                        "near-lossless but not bit-parity)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (Pallas decode attention)")
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke test)")
@@ -130,10 +133,12 @@ def main(argv=None):
     from crab_tpu.tasks.registry import TASKS
 
     cfg, special, chat_style, eos_id = select_model(args)
-    if args.kv_quant:
+    if args.kv_quant or args.a8_prefill:
         import dataclasses
 
-        cfg = cfg.replace(decoder=dataclasses.replace(cfg.decoder, kv_quant=True))
+        cfg = cfg.replace(decoder=dataclasses.replace(
+            cfg.decoder, kv_quant=args.kv_quant,
+            int8_activations=args.a8_prefill))
     params = build_params(args, cfg)
     tokenizer = build_tokenizer(args, special)
     engine = InferenceEngine(

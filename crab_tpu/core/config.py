@@ -136,6 +136,13 @@ class DecoderConfig:
     # int8 KV cache: halves decode-step HBM traffic via the Pallas
     # decode-attention kernel (ops/decode_attention.py)
     kv_quant: bool = False
+    # W8A8 prefill: with int8 weights, also quantize activations
+    # per-token (symmetric) at T>1 so projections run s8xs8 on the MXU
+    # at 2x the bf16 rate (v5e: 394 vs 197 TOPS). Decode (T==1) stays
+    # W8A16 — it is bandwidth-bound. Opt-in: per-token activation
+    # quantization is near-lossless on most inputs but is NOT bit-parity
+    # (LLM.int8-style outlier channels can degrade 7B quality).
+    int8_activations: bool = False
     lora: Optional[MoELoRAConfig] = field(default_factory=MoELoRAConfig)
 
 

@@ -115,10 +115,23 @@ def init_llama(key, cfg: DecoderConfig, dtype=jnp.float32) -> Dict[str, Any]:
     return params
 
 
-def _base_proj(p, x):
+def _quantize_act(x):
+    """Per-token symmetric int8 activation quantization (W8A8 prefill)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _base_proj(p, x, a8: bool = False):
     """Base matmul across the storage formats: bf16 'w', int8 'w_q'+'w_s',
     or group-int4 'w_p'+'w_g' (Pallas kernel on decode-sized row counts,
-    in-graph dequant for prefill — ops/w4a16_matmul.py)."""
+    in-graph dequant for prefill — ops/w4a16_matmul.py).
+
+    ``a8``: with int8 weights, quantize activations per token and run the
+    dot s8xs8->s32 on the MXU (2x the bf16 rate); scales fold into the
+    fp32 epilogue (cfg.int8_activations, prefill only)."""
     if "w_p" in p:
         from crab_tpu.ops.w4a16_matmul import (
             dequant_w4_xla,
@@ -142,12 +155,23 @@ def _base_proj(p, x):
             return y.reshape(*lead, -1).astype(x.dtype)
         return x @ dequant_w4_xla(p["w_p"], p["w_g"], x.dtype)
     if "w_q" in p:  # weight-only int8 (lm/quant.py): scale in the epilogue
+        if a8 and p["w_q"].dtype == jnp.int8:
+            xq, xs = _quantize_act(x)
+            y = jax.lax.dot_general(
+                xq,
+                p["w_q"],
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (
+                y.astype(jnp.float32) * xs * p["w_s"].astype(jnp.float32)[0]
+            ).astype(x.dtype)
         return jnp.dot(x, p["w_q"].astype(x.dtype)) * p["w_s"].astype(x.dtype)[0]
     return x @ p["w"]
 
 
-def _proj(p, x, lora_cfg, dropout_rng=None, route_out=False):
-    y = _base_proj(p, x)
+def _proj(p, x, lora_cfg, dropout_rng=None, route_out=False, a8=False):
+    y = _base_proj(p, x, a8)
     if "b" in p:
         y = y + p["b"]
     route = None
@@ -290,10 +314,11 @@ def llama_apply(
             )
         qd = cfg.num_heads * cfg.head_dim
         kvd = cfg.num_kv_heads * cfg.head_dim
+        a8 = cfg.int8_activations and T > 1
         if packed:
             from crab_tpu.lm.pack import packed_proj
 
-            qkv, routes3 = packed_proj(layer_params["qkv"], h, lora_cfg, 3)
+            qkv, routes3 = packed_proj(layer_params["qkv"], h, lora_cfg, 3, a8=a8)
             q = qkv[..., :qd]
             k = qkv[..., qd : qd + kvd]
             v = qkv[..., qd + kvd :]
@@ -303,13 +328,16 @@ def llama_apply(
                 out["v"] = routes3[..., 2, :].astype(jnp.float32)
         else:
             q, q_route = _proj(
-                layer_params["q"], h, lora_cfg, dkeys.get("q"), route_out=True
+                layer_params["q"], h, lora_cfg, dkeys.get("q"), route_out=True,
+                a8=a8,
             )
             k, k_route = _proj(
-                layer_params["k"], h, lora_cfg, dkeys.get("k"), route_out=True
+                layer_params["k"], h, lora_cfg, dkeys.get("k"), route_out=True,
+                a8=a8,
             )
             v, v_route = _proj(
-                layer_params["v"], h, lora_cfg, dkeys.get("v"), route_out=True
+                layer_params["v"], h, lora_cfg, dkeys.get("v"), route_out=True,
+                a8=a8,
             )
             if collect:
                 out["q"] = q_route.astype(jnp.float32)
@@ -378,7 +406,8 @@ def llama_apply(
             attn = _attention(q, k, v, mask, cfg.num_heads, cfg.num_kv_heads)
 
         o, o_route = _proj(
-            layer_params["o"], attn, lora_cfg, dkeys.get("o"), route_out=True
+            layer_params["o"], attn, lora_cfg, dkeys.get("o"), route_out=True,
+            a8=a8,
         )
         if collect:
             out["o"] = o_route.astype(jnp.float32)
@@ -386,14 +415,17 @@ def llama_apply(
 
         h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
         if packed:
-            gu, _ = packed_proj(layer_params["gu"], h, lora_cfg, 2)
+            gu, _ = packed_proj(layer_params["gu"], h, lora_cfg, 2, a8=a8)
             I = cfg.intermediate_size
             gate, up = gu[..., :I], gu[..., I:]
         else:
-            gate = _proj(layer_params["gate"], h, lora_cfg, dkeys.get("gate"))
-            up = _proj(layer_params["up"], h, lora_cfg, dkeys.get("up"))
+            gate = _proj(
+                layer_params["gate"], h, lora_cfg, dkeys.get("gate"), a8=a8
+            )
+            up = _proj(layer_params["up"], h, lora_cfg, dkeys.get("up"), a8=a8)
         x = x + _proj(
-            layer_params["down"], jax.nn.silu(gate) * up, lora_cfg, dkeys.get("down")
+            layer_params["down"], jax.nn.silu(gate) * up, lora_cfg,
+            dkeys.get("down"), a8=a8,
         )
 
         return (x, *cache_bufs), out

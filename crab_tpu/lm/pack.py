@@ -111,7 +111,7 @@ def pack_decoder(
     return out
 
 
-def packed_proj(p: Dict, x: jnp.ndarray, lora_cfg, n: int):
+def packed_proj(p: Dict, x: jnp.ndarray, lora_cfg, n: int, a8: bool = False):
     """Apply a packed projection. Returns (y (..., sum_out), routes or None).
 
     routes: (..., n, E) fp32-softmaxed router weights per member, for
@@ -119,7 +119,7 @@ def packed_proj(p: Dict, x: jnp.ndarray, lora_cfg, n: int):
     """
     from crab_tpu.lm.llama import _base_proj
 
-    y = _base_proj(p, x)
+    y = _base_proj(p, x, a8)
     if "b" in p:
         y = y + p["b"]
     routes = None

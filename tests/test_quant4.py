@@ -60,3 +60,38 @@ def test_int4_container_generate():
     pk = pack_decoder(p, cfg)
     r2 = generate(pk, cfg, emb, mask, pos, max_new_tokens=4, eos_id=-1)
     np.testing.assert_array_equal(np.asarray(r.tokens), np.asarray(r2.tokens))
+
+
+def test_w8a8_prefill_close_and_decode_unchanged():
+    """int8_activations: prefill logits stay close to W8A16 (per-token
+    activation quant), decode (T==1) is bit-identical (a8 gated off)."""
+    import dataclasses
+
+    from crab_tpu.core.config import DecoderConfig, MoELoRAConfig
+    from crab_tpu.lm.llama import _proj, llama_apply
+    from crab_tpu.lm.quant import init_llama_int8
+
+    cfg = DecoderConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=16, max_position_embeddings=128,
+        lora=MoELoRAConfig(rank=2, num_experts=2, alpha=4.0),
+    )
+    cfg8 = dataclasses.replace(cfg, int8_activations=True)
+    p = init_llama_int8(jax.random.PRNGKey(0), cfg, jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 64), jnp.float32) * 0.1
+    mask = jnp.ones((2, 9), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(9)[None], (2, 9))
+    lo16, _, _, _ = llama_apply(p, cfg, emb, attention_mask=mask, position_ids=pos)
+    lo8, _, _, _ = llama_apply(p, cfg8, emb, attention_mask=mask, position_ids=pos)
+    a, b = np.asarray(lo16), np.asarray(lo8)
+    assert not np.array_equal(a, b)  # a8 actually engaged
+    # per-token int8 activation quant: small relative logit error
+    denom = np.abs(a).max()
+    assert np.abs(a - b).max() / denom < 0.08
+
+    # T==1 path ignores a8 entirely
+    x1 = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 64), jnp.float32)
+    layer0 = jax.tree_util.tree_map(lambda v: v[0], p["layers"]["q"])
+    y16 = _proj(layer0, x1, cfg.lora, a8=False)
+    y8 = _proj(layer0, x1, cfg8.lora, a8=cfg8.int8_activations and x1.shape[1] > 1)
+    np.testing.assert_array_equal(np.asarray(y16), np.asarray(y8))
