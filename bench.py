@@ -163,7 +163,8 @@ def main():
     # device executing batch i (run_stream) — the serving configuration
     iters = 6
     t0 = time.time()
-    outs = engine.run_stream("bench-avqa", [samples] * iters)
+    depth = int(os.environ.get("CRAB_BENCH_DEPTH", "2"))
+    outs = engine.run_stream("bench-avqa", [samples] * iters, depth=depth)
     dt = (time.time() - t0) / iters
     assert len(outs) == iters
     clips_per_sec = BATCH / dt

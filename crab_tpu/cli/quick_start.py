@@ -29,12 +29,18 @@ def select_model(args):
     """(cfg, special_tokens, chat_style, eos_id) for --llm / --tiny —
     the reference's ``--llm_name llama|qwen`` switch
     (``finetune_hyperlora.py:44-45``)."""
-    from crab_tpu.core.config import crab_7b, crab_qwen_7b, crab_tiny
+    from crab_tpu.core.config import (
+        crab_7b,
+        crab_qwen_7b,
+        crab_qwen_tiny,
+        crab_tiny,
+    )
     from crab_tpu.fusion.tokens import SpecialTokens
 
     llm = getattr(args, "llm", "llama")
     if getattr(args, "tiny", False):
-        return crab_tiny(), SpecialTokens(base_vocab=400), llm, 2
+        tiny = crab_qwen_tiny() if llm == "qwen" else crab_tiny()
+        return tiny, SpecialTokens(base_vocab=400), llm, 2
     if llm == "qwen":
         # Qwen2: base vocab 151646, <|im_end|> terminates generation
         return crab_qwen_7b(), SpecialTokens(base_vocab=151646), "qwen", 151645

@@ -298,8 +298,28 @@ def crab_tiny(vocab_size: int = 512) -> CrabConfig:
     )
 
 
+def crab_qwen_tiny(vocab_size: int = 512) -> CrabConfig:
+    """Tiny config with the Qwen2 decoder shape (GQA, qkv bias, 1e6
+    rope, 1e-6 eps) so the qwen family is exercised end to end — engine,
+    packed layout (per-member B0/B1/B2), CLIs — without 7B weights."""
+    import dataclasses
+
+    base = crab_tiny(vocab_size)
+    return base.replace(
+        name="crab-qwen-tiny",
+        decoder=dataclasses.replace(
+            base.decoder,
+            num_kv_heads=2,
+            attention_bias=True,
+            rope_theta=1000000.0,
+            rms_norm_eps=1e-6,
+        ),
+    )
+
+
 PRESETS = {
     "crab-7b": crab_7b,
     "crab-qwen-7b": crab_qwen_7b,
     "crab-tiny": crab_tiny,
+    "crab-qwen-tiny": crab_qwen_tiny,
 }

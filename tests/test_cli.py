@@ -141,3 +141,24 @@ def test_serve_cli(tmp_path):
     assert rows[0]["predict"] != ""
     assert rows[1]["mask_found"] is False  # random weights
     assert os.path.exists(rows[1]["mask_path"])
+
+
+def test_quick_start_cli_qwen_tiny(tmp_path):
+    """The qwen family end to end through the CLI at tiny scale: GQA +
+    qkv-bias decoder (packed per-member expert path), qwen chat style."""
+    from crab_tpu.cli.quick_start import main
+
+    examples = [
+        {
+            "task": "arig",
+            "audio_path": f"{ASSETS}/arig/audio.wav",
+            "image_path": f"{ASSETS}/arig/1.jpg",
+        },
+    ]
+    ex = tmp_path / "examples.json"
+    ex.write_text(json.dumps(examples))
+    out = tmp_path / "out_qwen"
+    main(["--examples", str(ex), "--random-init", "--tiny", "--llm", "qwen",
+          "--out", str(out)])
+    rows = [json.loads(l) for l in open(out / "results.jsonl")]
+    assert rows[0]["task"] == "arig" and rows[0]["predict"] != ""
