@@ -178,6 +178,19 @@ def main(argv=None):
         f.write(f"\ntrainable {trainable} / total {total} "
                 f"({100.0 * trainable / max(total,1):.3f}%)\n")
     print(f"trainable params: {trainable:,} / {total:,}")
+    # full-architecture dump + run config (the reference writes model.txt
+    # and the args JSON — finetune_hyperlora.py:33-40,202-218)
+    with open(os.path.join(args.out, "model.txt"), "w") as f:
+        f.write(f"{cfg.name}\n")
+        for path, leaf in flat:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            f.write(f"{name} {tuple(leaf.shape)} {leaf.dtype}\n")
+    with open(os.path.join(args.out, "run_config.json"), "w") as f:
+        json.dump(
+            {"model": cfg.name, **{k: v for k, v in vars(args).items()
+                                   if isinstance(v, (str, int, float, bool))}},
+            f, indent=1,
+        )
     state = init_train_state(params, optimizer, trainable=mask)
     if args.resume:
         state = ckpt.restore_state(args.resume, state)

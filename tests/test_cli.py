@@ -162,3 +162,37 @@ def test_quick_start_cli_qwen_tiny(tmp_path):
           "--out", str(out)])
     rows = [json.loads(l) for l in open(out / "results.jsonl")]
     assert rows[0]["task"] == "arig" and rows[0]["predict"] != ""
+
+
+def test_train_cli_e2e(tmp_path):
+    """Train CLI end to end at tiny scale on real assets: one stage-2
+    epoch over an s4 annotation — finite decreasing-capable loss, delta
+    export, and the reference-parity artifacts (trainable_params.txt,
+    model.txt, run_config.json, train_log.jsonl)."""
+    from crab_tpu.cli.train import main
+
+    ann = [
+        {
+            "audio_path": f"{ASSETS}/s4/audio.wav",
+            "image_path": f"{ASSETS}/s4/0.jpg",
+            "mask_path": f"{ASSETS}/s4/0.png",
+            "object": "object",
+        }
+        for _ in range(2)
+    ]
+    ap = tmp_path / "s4.json"
+    ap.write_text(json.dumps(ann))
+    out = tmp_path / "run"
+    main([
+        "--stage", "finetune", "--annotations", f"s4={ap}",
+        "--random-init", "--tiny", "--out", str(out),
+        "--epochs", "1", "--batch-size", "2", "--lr", "1e-3",
+    ])
+    log = [json.loads(l) for l in open(out / "train_log.jsonl")]
+    assert log and np.isfinite(log[-1]["loss"])
+    assert (out / "trainable_params.txt").exists()
+    assert (out / "model.txt").exists()
+    cfgj = json.loads((out / "run_config.json").read_text())
+    assert cfgj["model"] == "crab-tiny" and cfgj["stage"] == "finetune"
+    deltas = list(out.glob("delta_*.npz"))
+    assert deltas, "stage delta not exported"
