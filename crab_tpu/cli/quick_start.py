@@ -65,7 +65,7 @@ def build_params(args, cfg):
         params["audio"] = loading.load_beats(args.beats, cfg)
     if args.delta:
         params = loading.apply_reference_delta(params, args.delta, cfg)
-    if args.avs_delta:
+    if getattr(args, "avs_delta", ""):
         params = loading.apply_reference_delta(params, args.avs_delta, cfg)
     if getattr(args, "int8", False):
         from crab_tpu.lm.quant import quantize_decoder_host

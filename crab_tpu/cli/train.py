@@ -80,6 +80,8 @@ def main(argv=None):
     p.add_argument("--beats", default="")
     p.add_argument("--tokenizer", default="")
     p.add_argument("--delta", default="", help="previous-stage delta to load")
+    p.add_argument("--avs-delta", default="",
+                   help="stage-3 AVS delta to load (resume/extend)")
     p.add_argument("--out", required=True)
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--tiny", action="store_true")
@@ -163,28 +165,28 @@ def main(argv=None):
     from crab_tpu.train.state import trainable_mask
 
     os.makedirs(args.out, exist_ok=True)
+    from crab_tpu.utils.diagnostics import param_path_name
+
     mask = trainable_mask(params, modules)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     flat_m = jax.tree_util.tree_leaves(mask)
     total = trainable = 0
-    with open(os.path.join(args.out, "trainable_params.txt"), "w") as f:
+    # one pass writes both reference-parity dumps: trainable_params.txt
+    # and model.txt (finetune_hyperlora.py:202-218 writes the pair)
+    with open(os.path.join(args.out, "trainable_params.txt"), "w") as ft, \
+            open(os.path.join(args.out, "model.txt"), "w") as fm:
+        fm.write(f"{cfg.name}\n")
         for (path, leaf), m in zip(flat, flat_m):
             n = int(np.prod(leaf.shape))
             total += n
+            name = param_path_name(path)
+            fm.write(f"{name} {tuple(leaf.shape)} {leaf.dtype}\n")
             if m:
                 trainable += n
-                name = "/".join(str(getattr(p, "key", p)) for p in path)
-                f.write(f"{name} {tuple(leaf.shape)} {n}\n")
-        f.write(f"\ntrainable {trainable} / total {total} "
-                f"({100.0 * trainable / max(total,1):.3f}%)\n")
+                ft.write(f"{name} {tuple(leaf.shape)} {n}\n")
+        ft.write(f"\ntrainable {trainable} / total {total} "
+                 f"({100.0 * trainable / max(total,1):.3f}%)\n")
     print(f"trainable params: {trainable:,} / {total:,}")
-    # full-architecture dump + run config (the reference writes model.txt
-    # and the args JSON — finetune_hyperlora.py:33-40,202-218)
-    with open(os.path.join(args.out, "model.txt"), "w") as f:
-        f.write(f"{cfg.name}\n")
-        for path, leaf in flat:
-            name = "/".join(str(getattr(p, "key", p)) for p in path)
-            f.write(f"{name} {tuple(leaf.shape)} {leaf.dtype}\n")
     with open(os.path.join(args.out, "run_config.json"), "w") as f:
         json.dump(
             {"model": cfg.name, **{k: v for k, v in vars(args).items()

@@ -24,6 +24,7 @@ from crab_tpu.runtime.engine import splice_from_arrays
 from crab_tpu.runtime.model import encode_audio, encode_video
 from crab_tpu.seg.losses import avss_ce_loss, dice_loss, sigmoid_ce_loss
 from crab_tpu.seg.seg_module import seg_apply
+from crab_tpu.utils.diagnostics import param_path_name  # shared path naming
 
 
 class TrainState(NamedTuple):
@@ -68,7 +69,7 @@ def trainable_mask(params: Dict, modules: Sequence[str]) -> Dict:
 
     def match(path, leaf):
         # leading slash so prefix selectors like 'seg/' anchor cleanly
-        name = "/" + "/".join(str(getattr(p, "key", p)) for p in path) + "/"
+        name = "/" + param_path_name(path) + "/"
         return any(m != "" and m in name for m in modules) or "" in modules
 
     return jax.tree_util.tree_map_with_path(match, params)

@@ -25,6 +25,12 @@ from typing import Dict
 import numpy as np
 
 
+def param_path_name(path) -> str:
+    """'a/b/c' rendering of a tree_util key path (single definition —
+    trainable masks, CLI dumps and NaN guards all use the same form)."""
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace for the enclosed block."""
@@ -75,7 +81,7 @@ def nan_guard(tree, name: str = "tree", raise_on_nan: bool = True):
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         arr = np.asarray(leaf)
         if arr.dtype.kind == "f" and not np.isfinite(arr).all():
-            bad.append("/".join(str(getattr(p, "key", p)) for p in path))
+            bad.append(param_path_name(path))
     if bad and raise_on_nan:
         raise FloatingPointError(f"non-finite values in {name}: {bad[:8]}")
     return bad
