@@ -33,10 +33,11 @@ from crab_tpu.tasks.registry import TASKS
 class _Request:
     __slots__ = (
         "idx", "task", "sample", "max_new", "tokens", "slot", "done",
-        "is_avs", "seg_taps", "hiddens", "masks", "found",
+        "is_avs", "seg_taps", "hiddens", "masks", "found", "error",
     )
 
     def __init__(self, idx, task, sample, max_new, is_avs=False):
+        self.error = None
         self.idx = idx
         self.task = task
         self.sample = sample
@@ -205,12 +206,19 @@ class ContinuousEngine:
             return [s for s in range(self.slots) if s not in used]
 
         while queue or by_slot:
-            # admit as many as fit
+            # admit as many as fit; a malformed request (oversized prompt,
+            # bad media) fails alone, not the stream
             for s in free_slots():
                 if not queue:
                     break
                 req = queue.pop(0)
-                self._admit(req, s)
+                try:
+                    self._admit(req, s)
+                except Exception as e:  # noqa: BLE001 — per-request isolation
+                    req.done = True
+                    req.tokens = []
+                    req.error = f"{type(e).__name__}: {e}"
+                    continue
                 if not req.done:
                     by_slot[s] = req
             if not by_slot:
@@ -246,9 +254,11 @@ class ContinuousEngine:
         results: List[Dict] = []
         for r in reqs:
             d: Dict = {
-                "text": self.engine._decode(np.asarray(r.tokens)),
+                "text": self.engine._decode(np.asarray(r.tokens, np.int64)),
                 "tokens": list(r.tokens),
             }
+            if r.error:
+                d["error"] = r.error
             if r.is_avs:
                 d["masks"] = r.masks
                 d["mask_found"] = r.found

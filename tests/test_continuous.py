@@ -148,3 +148,24 @@ def test_continuous_avs_matches_batch_engine(engine, monkeypatch):
         np.testing.assert_allclose(
             g["masks"], np.asarray(ref.masks[0]), rtol=2e-4, atol=2e-4
         )
+
+
+def test_continuous_bad_request_isolated(engine, monkeypatch):
+    """An oversized/malformed request fails alone; the rest of the stream
+    still serves (per-request error isolation)."""
+    from crab_tpu.tasks import registry
+
+    task = _task("tiny-cb3")
+    monkeypatch.setitem(registry.TASKS, "tiny-cb3", task)
+    rng = np.random.default_rng(3)
+    good = {"question": "ok", "_media": _media(rng)}
+    # 72 fits the short prompt's 64-bucket + 3 tokens; the long prompt's
+    # 128-bucket does not
+    cb = ContinuousEngine(engine, slots=1, max_len=72, chunk=2)
+    bad = {"question": "x " * 40, "_media": _media(rng)}
+    out = cb.run_requests([
+        {"task": "tiny-cb3", "sample": bad, "max_new": 40},
+        {"task": "tiny-cb3", "sample": good, "max_new": 3},
+    ])
+    assert "error" in out[0] and out[0]["tokens"] == []
+    assert "error" not in out[1] and len(out[1]["tokens"]) == 3

@@ -160,3 +160,15 @@ def test_last_logit_only_matches_full():
     np.testing.assert_allclose(
         np.asarray(full[:, -1]), np.asarray(last[:, 0]), rtol=1e-6, atol=1e-6
     )
+
+
+def test_packed_with_int8_kv_cache():
+    """Packed layout composed with the int8-KV decode path (Pallas kernel
+    in interpret mode on CPU): token-identical to unpacked + int8-KV."""
+    cfg = dataclasses.replace(CFG_MHA, kv_quant=True)
+    params = _params_with_lora(cfg, key=31)
+    packed = pack_decoder(params, cfg)
+    emb, mask, pos = _inputs(cfg, T=12, key=33)
+    r_ref = generate(params, cfg, emb, mask, pos, max_new_tokens=6, eos_id=-1)
+    r_pkd = generate(packed, cfg, emb, mask, pos, max_new_tokens=6, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(r_ref.tokens), np.asarray(r_pkd.tokens))
