@@ -53,6 +53,21 @@ def build_params(args, cfg):
     from crab_tpu.runtime.model import init_crab
 
     if args.random_init:
+        if getattr(args, "int8", False):
+            # int8 applies to random weights too — at 7B the bf16 tree
+            # alone (13.5 GB) would OOM a 16 GB chip before the host
+            # quantizer ever ran, so init the decoder directly in int8
+            # (same recipe as bench.py)
+            from crab_tpu.lm.quant import init_llama_int8
+
+            params = init_crab(
+                jax.random.PRNGKey(0), cfg, skip=("decoder",)
+            )
+            params["decoder"] = init_llama_int8(
+                jax.random.PRNGKey(1), cfg.decoder,
+                jax.numpy.dtype(cfg.param_dtype),
+            )
+            return params
         return init_crab(jax.random.PRNGKey(0), cfg)
     from crab_tpu.runtime import loading
 

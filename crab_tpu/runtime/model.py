@@ -22,22 +22,26 @@ from crab_tpu.media.video import clip_normalize
 from crab_tpu.seg.seg_module import init_seg
 
 
-def init_crab(key, cfg: CrabConfig, dtype=None) -> Dict:
+def init_crab(key, cfg: CrabConfig, dtype=None, skip: tuple = ()) -> Dict:
+    """Random-init the full tree. ``skip`` omits components the caller
+    will supply differently (e.g. an int8 decoder at 7B, where the bf16
+    tree alone would exhaust a 16 GB chip)."""
     if dtype is None:
         dtype = jnp.dtype(cfg.param_dtype)
     ks = jax.random.split(key, 6)
-    return {
-        "vision": init_clip_vit(ks[0], cfg.vision, dtype),
-        "audio": init_beats(ks[1], cfg.audio, dtype),
-        "vl_projector": init_projector(
+    out = {
+        "vision": lambda: init_clip_vit(ks[0], cfg.vision, dtype),
+        "audio": lambda: init_beats(ks[1], cfg.audio, dtype),
+        "vl_projector": lambda: init_projector(
             ks[2], cfg.vl_projector, cfg.decoder.hidden_size, dtype
         ),
-        "al_projector": init_projector(
+        "al_projector": lambda: init_projector(
             ks[3], cfg.al_projector, cfg.decoder.hidden_size, dtype
         ),
-        "decoder": init_llama(ks[4], cfg.decoder, dtype),
-        "seg": init_seg(ks[5], cfg.seg, cfg.decoder.hidden_size, dtype),
+        "decoder": lambda: init_llama(ks[4], cfg.decoder, dtype),
+        "seg": lambda: init_seg(ks[5], cfg.seg, cfg.decoder.hidden_size, dtype),
     }
+    return {k: f() for k, f in out.items() if k not in skip}
 
 
 def encode_video(
