@@ -95,3 +95,18 @@ def test_w8a8_prefill_close_and_decode_unchanged():
     y16 = _proj(layer0, x1, cfg.lora, a8=False)
     y8 = _proj(layer0, x1, cfg8.lora, a8=cfg8.int8_activations and x1.shape[1] > 1)
     np.testing.assert_array_equal(np.asarray(y16), np.asarray(y8))
+
+
+def test_build_params_random_init_int8():
+    """--random-init --int8 must yield an int8 decoder (7B bf16 random
+    init OOMs a 16 GB chip before any host quantizer could run)."""
+    import argparse
+
+    from crab_tpu.cli.quick_start import build_params
+    from crab_tpu.core.config import crab_tiny
+
+    args = argparse.Namespace(random_init=True, int8=True)
+    params = build_params(args, crab_tiny())
+    dec = params["decoder"]["layers"]["q"]
+    assert "w_q" in dec and dec["w_q"].dtype == jnp.int8
+    assert "seg" in params and "vision" in params
