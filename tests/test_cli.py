@@ -196,3 +196,60 @@ def test_train_cli_e2e(tmp_path):
     assert cfgj["model"] == "crab-tiny" and cfgj["stage"] == "finetune"
     deltas = list(out.glob("delta_*.npz"))
     assert deltas, "stage delta not exported"
+
+
+def test_serve_cli_batch_engine(tmp_path):
+    """--engine batch: dynamic-batching server path, including the
+    per-request max_new honoring via registered task variants."""
+    from crab_tpu.cli.serve import main
+
+    requests = [
+        {
+            "task": "arig",
+            "sample": {
+                "audio_path": f"{ASSETS}/arig/audio.wav",
+                "image_path": f"{ASSETS}/arig/1.jpg",
+            },
+            "max_new": 4,
+        },
+        {
+            "task": "arig",
+            "sample": {
+                "audio_path": f"{ASSETS}/arig/audio.wav",
+                "image_path": f"{ASSETS}/arig/1.jpg",
+            },
+            "max_new": 4,
+        },
+    ]
+    req = tmp_path / "req.jsonl"
+    req.write_text("\n".join(json.dumps(r) for r in requests))
+    out = tmp_path / "served_batch"
+    main(["--requests", str(req), "--out", str(out), "--random-init",
+          "--tiny", "--engine", "batch", "--slots", "2"])
+    rows = [json.loads(l) for l in open(out / "results.jsonl")]
+    assert len(rows) == 2 and all(r["predict"] != "" for r in rows)
+
+
+def test_evaluate_cli_avss_head(tmp_path):
+    """AVSS (71-class head) through the evaluate CLI: per-class
+    accumulation and the avss summary path."""
+    from crab_tpu.cli.evaluate import main
+
+    ann = [
+        {
+            "audio_path": f"{ASSETS}/avss/audio.wav",
+            "image_path": f"{ASSETS}/avss/0.jpg",
+            "mask_path": f"{ASSETS}/avss/0.png",
+            "vid": "v0",
+            "idx": 0,
+        }
+    ]
+    annp = tmp_path / "avss.json"
+    annp.write_text(json.dumps(ann))
+    out = tmp_path / "eval_avss"
+    summary = main(
+        ["--task", "avss", "--annotations", str(annp), "--random-init",
+         "--tiny", "--out", str(out), "--batch-size", "1", "--score-unfound"]
+    )
+    assert summary["n"] == 1
+    assert "miou" in summary and "miou_noBg" in summary

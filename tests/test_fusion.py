@@ -100,3 +100,49 @@ def test_pad_to_bucket():
     batch = build_splice_batch([s], sp, feature_order=("<audio>",), pad_to=16)
     assert batch.seq_len == 16
     assert batch.attention_mask[0].sum() == 4
+
+
+def test_splice_layout_properties_random():
+    """Property test: random prompts/placeholders/lengths -> layout
+    invariants hold (left pad, contiguous bank ranges, positions are a
+    0-based cumsum over real tokens, labels align)."""
+    import numpy as np
+
+    from crab_tpu.fusion.splice import IGNORE_LABEL, SampleSpec, build_splice_batch
+    from crab_tpu.fusion.tokens import SpecialTokens
+
+    special = SpecialTokens(base_vocab=400)
+    rng = np.random.default_rng(0)
+    kinds = ["<audio>", "<video>", "<image>"]
+    for trial in range(25):
+        samples = []
+        for b in range(rng.integers(1, 5)):
+            n_ph = rng.integers(0, 4)
+            toks, lens = [], {}
+            for _ in range(rng.integers(1, 9)):
+                toks.append(int(rng.integers(3, 300)))
+            for kind in rng.permutation(kinds)[:n_ph]:
+                toks.insert(int(rng.integers(0, len(toks) + 1)), special.id(kind))
+                lens[kind] = int(rng.integers(1, 7))
+            samples.append(SampleSpec(np.asarray(toks, np.int64), lens, None, "t"))
+        sb = build_splice_batch(samples, special, pad_id=0)
+        B, L = sb.text_ids.shape
+        for b in range(B):
+            attn = sb.attention_mask[b]
+            # left padding: once attention starts it never stops
+            first = int(np.argmax(attn)) if attn.any() else L
+            assert (attn[first:] == 1).all() and (attn[:first] == 0).all()
+            # positions: cumsum-1 over the attended region, clamped at 0
+            expect = np.maximum(np.cumsum(attn) - 1, 0)
+            assert (sb.position_ids[b] == expect).all()
+            # feature indices: only inside the attended region, and every
+            # placeholder's range is contiguous and sample-local
+            fi = sb.feat_idx[b]
+            assert (fi[:first] == -1).all()
+            used = fi[fi >= 0]
+            if used.size:
+                runs = np.split(used, np.where(np.diff(used) != 1)[0] + 1)
+                for r in runs:
+                    assert (np.diff(r) == 1).all()
+            # labels outside attended region are IGNORE
+            assert (sb.labels[b][:first] == IGNORE_LABEL).all()
