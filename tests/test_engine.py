@@ -215,3 +215,24 @@ def test_audio_pcm16_h2d_exact(engine):
     a = encode_audio(engine.params, engine.cfg, jnp.asarray(f32))
     b = encode_audio(engine.params, engine.cfg, mb["audio"])
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+def test_bucket_padding_invariance(monkeypatch):
+    """The same sample padded into different prompt buckets (more left
+    padding) must decode identically — any leak through the additive
+    mask or position ids would show up here."""
+    from crab_tpu.tasks import registry
+
+    task = _tiny_av_task("tiny-bucket")
+    monkeypatch.setitem(registry.TASKS, "tiny-bucket", task)
+    params = init_crab(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(23)
+    sample = {"_media": _media(rng)}
+    outs = []
+    for bucket in (32, 96):
+        eng = InferenceEngine(
+            CFG, params, StubTokenizer(SPECIAL), SPECIAL, eos_id=399,
+            seq_bucket=bucket,
+        )
+        outs.append(eng.run("tiny-bucket", [sample]))
+    np.testing.assert_array_equal(outs[0].tokens, outs[1].tokens)
