@@ -236,3 +236,19 @@ def test_bucket_padding_invariance(monkeypatch):
         )
         outs.append(eng.run("tiny-bucket", [sample]))
     np.testing.assert_array_equal(outs[0].tokens, outs[1].tokens)
+
+
+def test_batch_composition_invariance(engine, monkeypatch):
+    """A sample decodes to the same tokens alone and inside a batch with
+    unrelated samples (no cross-sample leakage through the bank layout,
+    padding, or attention)."""
+    from crab_tpu.tasks import registry
+
+    task = _tiny_av_task("tiny-compose")
+    monkeypatch.setitem(registry.TASKS, "tiny-compose", task)
+    rng = np.random.default_rng(31)
+    samples = [{"_media": _media(rng)} for _ in range(3)]
+    batch = engine.run("tiny-compose", samples)
+    for i, s in enumerate(samples):
+        solo = engine.run("tiny-compose", [s])
+        np.testing.assert_array_equal(solo.tokens[0], batch.tokens[i])
