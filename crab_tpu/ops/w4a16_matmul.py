@@ -52,6 +52,8 @@ def _kernel(x_ref, wp_ref, s_ref, out_ref, *, groups_per_block, group):
     for g in range(groups_per_block):
         rows = slice(g * group, (g + 1) * group)
         x = x_ref[:, rows].astype(jnp.bfloat16)  # (R_blk, group)
+        # i32 unpack: mosaic rejects sub-32-bit comparisons on this
+        # target ("Target does not support this comparison" for i16)
         b = wp_ref[rows, :].astype(jnp.int32)  # (group, O2_blk)
         lo = b & 0xF
         lo = lo - (lo > 7).astype(jnp.int32) * 16  # sign-extend nibble
