@@ -37,13 +37,17 @@ def _load(fp: str) -> List[Dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def score_avqa(records: List[Dict]) -> Dict:
+def score_avqa(records: List[Dict], loose: bool = False) -> Dict:
+    """Exact match on the normalized ``<answer>`` span. Substring
+    containment (``loose=True``) inflates accuracy — gold "no" matches a
+    prediction containing "normal" or "not" — so it is opt-in only, for
+    dumps whose predictions lack the answer tag entirely."""
     total, correct = 0, 0
     by_type: Dict[str, List[int]] = defaultdict(list)
     for r in records:
         pred = normalize_answer(r["predict"])
         gold = normalize_answer(r.get("answer", r.get("output", "")))
-        ok = int(gold != "" and gold in pred)
+        ok = int(gold != "" and (gold in pred if loose else gold == pred))
         total += 1
         correct += ok
         if r.get("question_type"):
@@ -202,18 +206,89 @@ def score_avs(records: List[Dict], frames_per_video: int = 5) -> Dict:
     return out
 
 
+def _ngrams(tokens: List[str], n: int) -> Dict:
+    out: Dict = defaultdict(int)
+    for i in range(len(tokens) - n + 1):
+        out[tuple(tokens[i: i + n])] += 1
+    return out
+
+
+def _cap_tokens(text: str) -> List[str]:
+    import re as _re
+
+    return _re.findall(r"[a-z0-9]+", text.lower())
+
+
+def score_avcap(records: List[Dict]) -> Dict:
+    """AVCap captioning: corpus BLEU-1..4 (uniform weights, brevity
+    penalty — the standard Papineni formulation) so the 9th task's eval
+    chain doesn't dead-end at text dumps. The reference scores captions
+    offline with unshipped code; BLEU-4 is the headline caption metric.
+
+    Records: {predict, caption | answer | output}; gold may be a string
+    or a list of reference strings."""
+    import math
+
+    clip_len = ref_len = 0
+    match = np.zeros(4)
+    total = np.zeros(4)
+    n_rec = 0
+    for r in records:
+        pred = _cap_tokens(r.get("predict", ""))
+        gold = r.get("caption", r.get("answer", r.get("output", "")))
+        refs = [_cap_tokens(g) for g in (gold if isinstance(gold, list) else [gold])]
+        refs = [t for t in refs if t]
+        if not refs:
+            continue
+        n_rec += 1
+        clip_len += len(pred)
+        # closest reference length (standard multi-ref brevity penalty)
+        ref_len += min((abs(len(t) - len(pred)), len(t)) for t in refs)[1]
+        for n in range(1, 5):
+            pg = _ngrams(pred, n)
+            if not pg:
+                continue
+            # clipped counts against the max over references
+            rmax: Dict = defaultdict(int)
+            for t in refs:
+                for g, c in _ngrams(t, n).items():
+                    rmax[g] = max(rmax[g], c)
+            match[n - 1] += sum(min(c, rmax[g]) for g, c in pg.items())
+            total[n - 1] += sum(pg.values())
+    out: Dict = {"n": n_rec}
+    if not n_rec:
+        return out
+    bp = 1.0 if clip_len > ref_len else math.exp(1 - ref_len / max(clip_len, 1))
+    precisions = [match[i] / total[i] if total[i] else 0.0 for i in range(4)]
+    for k in range(1, 5):
+        if all(p > 0 for p in precisions[:k]):
+            bleu = bp * math.exp(sum(math.log(p) for p in precisions[:k]) / k)
+        else:
+            bleu = 0.0
+        out[f"bleu{k}"] = float(bleu)
+    out["brevity_penalty"] = float(bp)
+    return out
+
+
 SCORERS = {"avqa": score_avqa, "ave": score_ave, "avvp": score_avvp,
            "arig": score_arig, "avs": score_avs, "s4": score_avs,
-           "ms3": score_avs, "ref-avs": score_avs}
+           "ms3": score_avs, "ref-avs": score_avs, "avcap": score_avcap}
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", required=True, choices=sorted(SCORERS))
     p.add_argument("--jsonl", required=True)
+    p.add_argument(
+        "--loose", action="store_true",
+        help="avqa: substring containment instead of exact answer match",
+    )
     args = p.parse_args(argv)
     records = _load(args.jsonl)
-    result = SCORERS[args.task](records)
+    if args.task == "avqa":
+        result = score_avqa(records, loose=args.loose)
+    else:
+        result = SCORERS[args.task](records)
     print(json.dumps(result, indent=1))
     return result
 

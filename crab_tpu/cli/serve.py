@@ -39,6 +39,10 @@ def main(argv=None):
                    default="continuous")
     p.add_argument("--slots", type=int, default=4)
     p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--prefill-chunk", type=int, default=0,
+                   help="admit prompts in pieces of N tokens, decoding "
+                        "active slots between pieces (bounds the "
+                        "admission stall); 0 = whole-prompt prefill")
     p.add_argument("--max-len", type=int, default=1280)
     p.add_argument("--llm", choices=["llama", "qwen"], default="llama")
     p.add_argument("--llama", default="")
@@ -62,6 +66,11 @@ def main(argv=None):
     from crab_tpu.runtime.engine import InferenceEngine
 
     cfg, special, chat_style, eos_id = select_model(args)
+    if args.kv_quant and args.engine == "continuous":
+        # lm/cb.py allocates bf16 slot caches; llama_apply picks the int8
+        # path by cache type, so the flag would be a silent no-op here
+        p.error("--kv-quant only applies to --engine batch; the "
+                "continuous engine's slot caches are bf16")
     if args.kv_quant or args.a8_prefill:
         import dataclasses
 
@@ -85,7 +94,8 @@ def main(argv=None):
         from crab_tpu.runtime.continuous import ContinuousEngine
 
         cb = ContinuousEngine(
-            engine, slots=args.slots, max_len=args.max_len, chunk=args.chunk
+            engine, slots=args.slots, max_len=args.max_len, chunk=args.chunk,
+            prefill_chunk=args.prefill_chunk,
         )
         results = cb.run_requests(requests)
     else:
@@ -127,6 +137,9 @@ def main(argv=None):
     with open(out_path, "w") as f:
         for i, (req, res) in enumerate(zip(requests, results)):
             row = {"id": i, "task": req["task"], "predict": res["text"]}
+            if res.get("error"):
+                # distinguish failed requests from genuinely empty decodes
+                row["error"] = res["error"]
             if res.get("masks") is not None:
                 from crab_tpu.media.masks import save_mask_png
 

@@ -173,12 +173,16 @@ def quantize_w4(w, group: int = GROUP):
     return w_p, w_g
 
 
-def dequantize_w4(w_p, w_g, group: int = GROUP):
-    """Reference inverse for tests and the XLA fallback path."""
+def dequantize_w4(w_p, w_g):
+    """Reference inverse for tests and the XLA fallback path. The group
+    size is implied by the operands (``D // w_g.shape[0]``) — quantize_w4
+    may have clamped the requested group via effective_group, so taking
+    it as a parameter invited shape mismatches."""
     import numpy as np
 
     w_p = np.asarray(w_p)
     D, O2 = w_p.shape
+    group = D // np.asarray(w_g).shape[0]
     lo = (w_p & 0xF).astype(np.int8)
     lo = np.where(lo > 7, lo - 16, lo)
     hi = (w_p >> 4).astype(np.int8)

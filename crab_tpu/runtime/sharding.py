@@ -34,7 +34,19 @@ def decoder_layer_specs(fsdp: bool = True) -> Dict[str, Any]:
     rep = P()
 
     def proj(spec, bias_spec=None, lora_out=False):
-        d = {"w": spec}
+        # quantized storage mirrors 'w': w_q (L, in, out) shards like w;
+        # the per-out-channel scale w_s (L, 1, out) and group-int4 scales
+        # w_g (L, D/g, 2, O/2) shard on the out axis only (the group axis
+        # need not align with the in-axis shards). Without these entries
+        # int8/int4 decoders silently replicate on every device.
+        out_axis = spec[2]  # 'model' for column-parallel, data for row
+        d = {
+            "w": spec,
+            "w_q": spec,
+            "w_s": P(None, None, out_axis),
+            "w_p": spec,
+            "w_g": P(None, None, None, out_axis),
+        }
         if bias_spec is not None:
             d["b"] = bias_spec
         d["lora"] = {
@@ -49,8 +61,13 @@ def decoder_layer_specs(fsdp: bool = True) -> Dict[str, Any]:
     # align with the model-axis shards); packed lora B is (L, n, E, r, out)
     packed = {
         "w": col,
+        "w_q": col,
+        "w_s": P(None, None, "model"),
+        "w_p": col,
+        "w_g": P(None, None, None, "model"),
         "b": P(None, "model"),
         "lora": {
+            "RA": P(),  # fused route+A (tiny; replicated like its parts)
             "route": P(),
             "A": P(),
             "B": P(None, None, None, None, "model"),

@@ -72,32 +72,17 @@ def _answer(record: Dict, special: SpecialTokens, task: str) -> str:
             f"The sounding object is {obj}. Its coordinate of top left corner "
             f"is ({x1},{y1}) and coordinate of bottom right corner is ({x2},{y2})"
         )
-    if task in ("s4", "ms3"):
-        obj = record["object"]
-        th = _ORDINAL.get(record.get("idx", 0) + 1, "first")
-        return (
-            f"The object making the sound in the video is {obj}. The mask of "
-            f"the object that makes the sound at the {th} second is "
-            f"<mask_start>{mt}<mask_end>"
-        )
-    if task == "avss":
+    if task in ("s4", "ms3", "avss"):
         obj = record.get("object", "the sounding objects")
         th = _ORDINAL.get(record.get("idx", 0) + 1, "first")
-        return (
-            f"The object making the sound in the video is {obj}. The mask of "
-            f"the object that makes the sound at the {th} second is "
-            f"<mask_start>{mt}<mask_end>"
-        )
+        return prompts.avss_train_output(obj, th, mt)
     if task == "ref-avs":
-        # train format (unified_dataset.py:663); the test/quick-start
-        # surface uses the shorter '{exp} is <mask_start>...' instead
+        # train format (unified_dataset.py:662); the test/quick-start
+        # surface uses prompts.ref_avs_eval_output instead
         exp = record["exp"]
         obj = record.get("object", "the object")
         th = _ORDINAL.get(record.get("idx", 0) + 1, "first")
-        return (
-            f"At the {th} second in the video, {exp} is {obj}. "
-            f"Its mask is <mask_start>{mt}<mask_end>"
-        )
+        return prompts.ref_avs_train_output(exp, obj, th, mt)
     # stage-1 pretrain tasks (dataset/pretrain_dataset.py)
     if task in ("image_caption", "video_caption", "audio_caption"):
         return record["caption"]

@@ -126,6 +126,7 @@ def ref_avs_train_instruction(exp: str, th: str) -> str:
 
 
 def ref_avs_train_output(exp: str, obj: str, th: str, mask_token: str) -> str:
+    """Train-surface answer (``unified_dataset.py:662``)."""
     return (
         f"At the {th} second in the video, {exp} is {obj}. "
         f"Its mask is <mask_start>{mask_token}<mask_end>"
@@ -156,7 +157,10 @@ def s4_train_output(a_obj: str, mask_token: str) -> str:
     )
 
 
-def ref_avs_train_output(exp: str, obj: str, mask_token: str) -> str:
+def ref_avs_eval_output(exp: str, mask_token: str) -> str:
+    """Quick-start / full-split answer surface — shorter than the train
+    format (``unified_dataset.py:1729``). Previously this definition
+    silently shadowed :func:`ref_avs_train_output`."""
     return f"{exp} is <mask_start>{mask_token}<mask_end>"
 
 

@@ -117,3 +117,36 @@ def test_collator_feeds_train_step(annotations):
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["mask_loss"]))
+
+
+def test_train_answer_templates_byte_parity():
+    """Train-surface ANSWER templates, byte-exact vs the reference strings
+    (``unified_dataset.py:316`` s4/ms3/avss th-variant, ``:662`` ref-avs).
+    The instruction side has parity tests elsewhere; this pins the answer
+    side, which previously relied on strings inlined in datasets._answer
+    (and a shadowed duplicate template in prompts.py)."""
+    from crab_tpu.tasks.datasets import _answer
+    from crab_tpu.tasks import prompts
+
+    mt = SPECIAL.mask_token_str
+    rec = {"object": "dog", "idx": 2}
+    expected = (
+        "The object making the sound in the video is dog. The mask of the "
+        f"object that makes the sound at the third second is "
+        f"<mask_start>{mt}<mask_end>"
+    )
+    for task in ("s4", "ms3", "avss"):
+        assert _answer(rec, SPECIAL, task) == expected
+
+    ref = {"exp": "the loudest instrument", "object": "piano", "idx": 0}
+    assert _answer(ref, SPECIAL, "ref-avs") == (
+        "At the first second in the video, the loudest instrument is piano. "
+        f"Its mask is <mask_start>{mt}<mask_end>"
+    )
+    # the eval/quick-start surface stays the short form (unified_dataset.py:1729)
+    assert prompts.ref_avs_eval_output("the loudest instrument", mt) == (
+        f"the loudest instrument is <mask_start>{mt}<mask_end>"
+    )
+    # both names exist and are distinct — the old duplicate silently
+    # shadowed the train format
+    assert prompts.ref_avs_train_output is not prompts.ref_avs_eval_output

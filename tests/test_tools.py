@@ -235,3 +235,49 @@ def test_avvp_bridge_accepts_raw_label_tags():
     a2, v2, av2 = avvp_text_to_matrices(renamed)
     assert a1.sum() == 3 and np.array_equal(a1, a2)
     assert np.array_equal(v1, v2) and np.array_equal(av1, av2)
+
+
+def test_score_avqa_exact_match_not_containment():
+    """Gold 'no' must NOT match a prediction of 'normal'/'not really'
+    (the containment failure mode); --loose restores containment."""
+    recs = [
+        {"predict": "<answer>normal</answer>", "answer": "no"},
+        {"predict": "<answer>not really</answer>", "answer": "no"},
+        {"predict": "<answer>no</answer>", "answer": "no"},
+        {"predict": "<answer>no.</answer>", "answer": "no"},  # normalized
+    ]
+    strict = score_avqa(recs)
+    np.testing.assert_allclose(strict["accuracy"], 2 / 4)
+    loose = score_avqa(recs, loose=True)
+    np.testing.assert_allclose(loose["accuracy"], 1.0)
+
+
+def test_score_avcap_bleu():
+    """BLEU-4 sanity: perfect match = 1.0; cross-checked against nltk's
+    corpus_bleu formulation on a hand-computable case."""
+    from crab_tpu.cli.score import score_avcap
+
+    recs = [{"predict": "a dog playing a piano on stage",
+             "caption": "a dog playing a piano on stage"}]
+    out = score_avcap(recs)
+    np.testing.assert_allclose(out["bleu4"], 1.0)
+    np.testing.assert_allclose(out["bleu1"], 1.0)
+
+    # partial overlap: pred 4 tokens, 3 unigram matches, 2 bigrams,
+    # 1 trigram, 0 four-grams -> bleu4 == 0, bleu2 = bp*sqrt(3/4 * 2/3)
+    recs = [{"predict": "the cat sat down",
+             "caption": "the cat sat on the mat"}]
+    out = score_avcap(recs)
+    import math
+    bp = math.exp(1 - 6 / 4)
+    np.testing.assert_allclose(out["bleu1"], bp * 3 / 4, rtol=1e-9)
+    np.testing.assert_allclose(
+        out["bleu2"], bp * math.sqrt((3 / 4) * (2 / 3)), rtol=1e-9
+    )
+    assert out["bleu4"] == 0.0
+
+    # multi-reference clipping: gold list, best ref is used per n-gram
+    recs = [{"predict": "a red ball",
+             "caption": ["a red ball", "the red ball bounces"]}]
+    out = score_avcap(recs)
+    np.testing.assert_allclose(out["bleu3"], 1.0)

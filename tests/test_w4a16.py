@@ -39,7 +39,7 @@ def test_quantize_roundtrip_bound():
     rng = np.random.default_rng(0)
     w = rng.standard_normal((256, 128)).astype(np.float32) * 0.1
     wp, wg = quantize_w4(w, group=128)
-    wd = dequantize_w4(wp, wg, group=128)
+    wd = dequantize_w4(wp, wg)
     # RTN error bound: half a quantization step per group/channel
     scale = np.concatenate([wg[:, 0], wg[:, 1]], axis=1)
     step = np.repeat(scale, 128, axis=0)
@@ -105,8 +105,7 @@ def test_w4_decoder_generate_close_to_dequant_model():
         w = np.stack(
             [
                 dequantize_w4(
-                    np.asarray(p["w_p"][i]), np.asarray(p["w_g"][i]),
-                    group=np.asarray(p["w_p"][i]).shape[0] // p["w_g"].shape[1],
+                    np.asarray(p["w_p"][i]), np.asarray(p["w_g"][i])
                 )
                 for i in range(L)
             ]
