@@ -271,6 +271,21 @@ def llama_apply(
         S = cache.k.shape[2]
         offset = cache.length
 
+    if quant_cache and T > 1:
+        # Chunked/continued prefill into the int8 cache silently drops the
+        # earlier chunks (the T>1 branch attends over the LOCAL k/v only —
+        # see KVCacheQ docstring). Fail loudly instead of decoding garbage.
+        if isinstance(cache.length, jax.core.Tracer):
+            # in-graph: poison activations so any offset!=0 prefill yields
+            # NaN logits at fetch time rather than plausible wrong tokens
+            x = jnp.where(offset == 0, x, jnp.asarray(jnp.nan, x.dtype))
+        elif int(cache.length) != 0:
+            raise ValueError(
+                "KVCacheQ supports a single prefill at offset 0; chunked "
+                f"prefill (offset={int(cache.length)}, T={T}) would drop "
+                "earlier chunks. Use the bf16 KVCache for chunked prefill."
+            )
+
     if position_ids is None:
         position_ids = offset[None, None] + jnp.arange(T)[None, :]
         position_ids = jnp.broadcast_to(position_ids, (B, T))
@@ -372,18 +387,33 @@ def llama_apply(
             )
             cache_bufs = [k_qc, k_sc, v_qc, v_sc]
             if T == 1:
-                # Pallas int8 decode-attention kernel; bias carries both
-                # the left-padding and not-yet-written masking
+                # int8 decode attention; bias carries both the
+                # left-padding and not-yet-written masking. Default is
+                # the XLA mixed bf16xs8 formulation (scales factored out
+                # of the dots) — fastest measured and no VMEM ceiling;
+                # 'pallas' keeps the VMEM-dequant kernel.
+                from crab_tpu.ops.decode_attention import (
+                    decode_attention_int8_xla,
+                )
+
                 bias = mask[:, 0, 0, :]  # (B, S)
-                attn = decode_attention_int8(
+                args = (
                     q[:, 0],  # (B, H, d)
                     jax.lax.dynamic_index_in_dim(k_qc, layer_idx, 0, False),
                     jax.lax.dynamic_index_in_dim(k_sc, layer_idx, 0, False),
                     jax.lax.dynamic_index_in_dim(v_qc, layer_idx, 0, False),
                     jax.lax.dynamic_index_in_dim(v_sc, layer_idx, 0, False),
-                    bias=bias,
-                    interpret=jax.default_backend() == "cpu",
-                )[:, None, :, :].reshape(B, 1, cfg.num_heads * cfg.head_dim)
+                )
+                if cfg.kv_kernel == "pallas":
+                    attn = decode_attention_int8(
+                        *args, bias=bias,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                else:
+                    attn = decode_attention_int8_xla(*args, bias=bias)
+                attn = attn[:, None, :, :].reshape(
+                    B, 1, cfg.num_heads * cfg.head_dim
+                )
             else:
                 # prefill at offset 0: attend over the local (bf16) k/v —
                 # the quantized cache is written for subsequent decode

@@ -234,12 +234,13 @@ def test_int8_weight_only_quant(hf_model, params):
     assert (np.asarray(t_ref.tokens) == np.asarray(t_q.tokens)).mean() > 0.7
 
 
-def test_int8_kv_cache_generate(hf_model, params):
-    """Quantized-KV decode (Pallas kernel, interpret mode on CPU) tracks
-    the bf16-cache path."""
+@pytest.mark.parametrize("kernel", ["xla", "pallas"])
+def test_int8_kv_cache_generate(hf_model, params, kernel):
+    """Quantized-KV decode (XLA mixed-dot path and the Pallas kernel in
+    interpret mode on CPU) tracks the bf16-cache path."""
     import dataclasses
 
-    cfg_q = dataclasses.replace(CFG, kv_quant=True)
+    cfg_q = dataclasses.replace(CFG, kv_quant=True, kv_kernel=kernel)
     rng = np.random.default_rng(6)
     B, T = 2, 10
     embeds = rng.standard_normal((B, T, 64)).astype(np.float32) * 0.1
@@ -395,3 +396,60 @@ def test_per_token_route_telemetry():
         np.asarray(tel["q"]).mean(axis=(1, 2)),
         rtol=1e-6,
     )
+
+
+def test_kvcacheq_chunked_prefill_fails_loudly(params):
+    """Chunked prefill into the int8 cache would silently drop earlier
+    chunks; concrete offsets raise, traced offsets poison with NaN."""
+    import dataclasses
+
+    from crab_tpu.lm.llama import KVCacheQ
+
+    cfg_q = dataclasses.replace(CFG, kv_quant=True)
+    rng = np.random.default_rng(7)
+    emb = jnp.asarray(rng.standard_normal((1, 4, 64)).astype(np.float32))
+    cache = KVCacheQ.zeros(cfg_q, 1, 32)
+    mask = jnp.ones((1, 32), jnp.int32)
+    # first prefill at offset 0 is fine
+    _, _, cache, _ = llama_apply(params, cfg_q, emb, attention_mask=mask,
+                                 cache=cache)
+    assert int(cache.length) == 4
+    # second T>1 call: concrete offset -> loud ValueError
+    with pytest.raises(ValueError, match="single prefill"):
+        llama_apply(params, cfg_q, emb, attention_mask=mask, cache=cache)
+
+    # traced offset (inside jit): NaN-poisoned logits instead of garbage
+    @jax.jit
+    def chunked(cache):
+        logits, _, cache, _ = llama_apply(
+            params, cfg_q, emb, attention_mask=mask, cache=cache
+        )
+        return logits
+
+    assert np.isnan(np.asarray(chunked(cache))).all()
+
+
+def test_int8_xla_attention_matches_reference():
+    """decode_attention_int8_xla == fp reference on the dequantized cache
+    (exact same quantized operands, scales factored out of the dots)."""
+    from crab_tpu.ops.decode_attention import (
+        decode_attention_int8_xla,
+        quantize_kv,
+        reference_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, Hkv, S, d = 2, 4, 2, 16, 16
+    q = jnp.asarray(rng.standard_normal((B, H, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, d)), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    length = jnp.asarray(12, jnp.int32)
+    # reference over the DEQUANTIZED cache -> differences only from the
+    # factored-scale compute order, not from quantization error
+    k_dq = kq.astype(jnp.float32) * ks[..., None]
+    v_dq = vq.astype(jnp.float32) * vs[..., None]
+    ref = reference_attention(q, k_dq, v_dq, length)
+    out = decode_attention_int8_xla(q, kq, ks, vq, vs, length=length)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-3)
