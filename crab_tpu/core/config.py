@@ -133,9 +133,16 @@ class DecoderConfig:
     max_position_embeddings: int = 4096
     attention_bias: bool = False  # True for Qwen2 q/k/v
     tie_word_embeddings: bool = False
-    # int8 KV cache: halves decode-step HBM traffic via the Pallas
-    # decode-attention kernel (ops/decode_attention.py)
+    # int8 KV cache: halves decode-step HBM traffic
+    # (ops/decode_attention.py)
     kv_quant: bool = False
+    # int8-KV decode attention implementation: 'xla' factors the per-row
+    # scales out of both contractions and lets the compiler stream the
+    # int8 cache into mixed bf16xs8 dots (measured fastest at serving
+    # shapes, tools/micro_kv8.py: 12.5 ms/step-equiv vs 15.6 bf16 /
+    # 18.4 pallas at S=832); 'pallas' keeps the VMEM-dequant kernel
+    # (VMEM-bound above S~1k at batch 8).
+    kv_kernel: str = "xla"
     # W8A8 prefill: with int8 weights, also quantize activations
     # per-token (symmetric) at T>1 so projections run s8xs8 on the MXU
     # at 2x the bf16 rate (v5e: 394 vs 197 TOPS). Decode (T==1) stays

@@ -60,9 +60,15 @@ def _pack_group(members: Sequence[Dict], donate: bool = False) -> Dict:
         out["b"] = jnp.concatenate([m["b"] for m in members], axis=-1)
     if "lora" in members[0]:
         loras = [m["lora"] for m in members]
+        # route and A share the input x too — one (L, D, n*E + n*r)
+        # matmul instead of two (layout: all members' routers, then all
+        # members' A blocks). Math unchanged: column concatenation only
+        # groups independent dot products.
         packed = {
-            "route": jnp.concatenate([l["route"] for l in loras], axis=-1),
-            "A": jnp.concatenate([l["A"] for l in loras], axis=-1),
+            "RA": jnp.concatenate(
+                [l["route"] for l in loras] + [l["A"] for l in loras],
+                axis=-1,
+            ),
         }
         outs = {l["B"].shape[-1] for l in loras}
         if len(outs) == 1:
@@ -127,13 +133,12 @@ def packed_proj(p: Dict, x: jnp.ndarray, lora_cfg, n: int, a8: bool = False):
         lp = p["lora"]
         E, r = lora_cfg.num_experts, lora_cfg.rank
         lead = x.shape[:-1]
+        ra = x @ lp["RA"].astype(x.dtype)  # (..., n*E + n*r), one matmul
         routes = jax.nn.softmax(
-            (x @ lp["route"].astype(x.dtype))
-            .reshape(*lead, n, E)
-            .astype(jnp.float32),
+            ra[..., : n * E].reshape(*lead, n, E).astype(jnp.float32),
             axis=-1,
         ).astype(x.dtype)
-        a = (x @ lp["A"].astype(x.dtype)).reshape(*lead, n, r)
+        a = ra[..., n * E :].reshape(*lead, n, r)
         weighted = routes[..., None] * a[..., None, :]  # (..., n, E, r) tiny
         if "B" in lp:
             delta = jnp.einsum(

@@ -213,8 +213,11 @@ def init_llama_w4(key, cfg, dtype=jnp.bfloat16, group: int = 128) -> Dict:
                     for lo in per
                 ]
                 lora = {
-                    "route": jnp.concatenate([s["route"] for s in stacked], -1),
-                    "A": jnp.concatenate([s["A"] for s in stacked], -1),
+                    "RA": jnp.concatenate(
+                        [s["route"] for s in stacked]
+                        + [s["A"] for s in stacked],
+                        -1,
+                    ),
                 }
                 outs = {s["B"].shape[-1] for s in stacked}
                 if len(outs) == 1:

@@ -95,6 +95,52 @@ def decode_attention_int8(
     return out
 
 
+def decode_attention_int8_xla(
+    q: jnp.ndarray,  # (B, H, d)
+    k_q: jnp.ndarray,  # (B, Hkv, S, d) int8
+    k_s: jnp.ndarray,  # (B, Hkv, S) f32
+    v_q: jnp.ndarray,
+    v_s: jnp.ndarray,
+    length: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,  # (B, S) additive f32
+) -> jnp.ndarray:
+    """Plain-XLA int8-KV decode attention — no kernel, no dequant copy.
+
+    The per-row scales factor OUT of both contractions: k's scale
+    multiplies the logit after the dot, v's scale folds into the
+    probabilities before the dot. Both dots are then mixed bf16 x s8 and
+    XLA streams the int8 operand straight into the MXU convolution (the
+    same convert-into-dot fusion verified for int8 weights via
+    tools/micro_hlo.py), so cache bytes read stay 8-bit. Measured faster
+    than both the bf16 path and the Pallas kernel at serving shapes
+    (tools/micro_kv8.py), and it has no VMEM ceiling at long S.
+    """
+    B, H, d = q.shape
+    Hkv, S = k_q.shape[1], k_q.shape[2]
+    G = H // Hkv
+    if bias is None:
+        if length is None:
+            raise ValueError("pass either length or bias")
+        bias = jnp.where(jnp.arange(S)[None] < length, 0.0, -1e9)
+        bias = jnp.broadcast_to(bias, (B, S))
+    qg = q.reshape(B, Hkv, G, d)
+    logits = jnp.einsum(
+        "bhgd,bhsd->bhgs", qg, k_q.astype(qg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    logits = (
+        logits * (d ** -0.5) * k_s[:, :, None, :]
+        + bias.astype(jnp.float32)[:, None, None, :]
+    )
+    p = jax.nn.softmax(logits, axis=-1)
+    p = (p * v_s[:, :, None, :]).astype(qg.dtype)
+    out = jnp.einsum(
+        "bhgs,bhsd->bhgd", p, v_q.astype(qg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, H, d).astype(q.dtype)
+
+
 def quantize_kv(x: jnp.ndarray):
     """(..., d) -> int8 values + (...) f32 scales (per trailing vector)."""
     xf = x.astype(jnp.float32)
