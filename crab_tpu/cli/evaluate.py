@@ -48,6 +48,10 @@ def main(argv=None):
                         "<mask_i> tokens (the reference skips them)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--dump-routes", action="store_true",
+                   help="dump per-sample MoE-LoRA router weights as "
+                        "reference-layout .npy under <out>/routes/ "
+                        "(inference_hyper_lora.py:164-205)")
     args = p.parse_args(argv)
 
     from crab_tpu.runtime.engine import InferenceEngine
@@ -104,11 +108,25 @@ def main(argv=None):
     cls_cnt = np.zeros(71)
     t0 = time.time()
     if clip_mode:
-        outputs = (engine.run_clip(args.task, g) for g in batches)
+        # depth-2 overlap: clip i+1's host prep + H2D run while the
+        # device executes clip i (same discipline as run_stream)
+        outputs = engine.run_clip_stream(args.task, batches, depth=2)
     else:
         outputs = engine.run_stream(args.task, batches)
+    route_dir = os.path.join(args.out, "routes")
+    sample_idx = 0
     with open(fp, "w") as f:
         for out, batch in zip(outputs, batches):
+            if args.dump_routes:
+                # one prefill pass with telemetry per batch; per-sample
+                # dumps in the reference's directory-per-sample layout
+                from crab_tpu.utils.diagnostics import dump_token_routes
+
+                routes = engine.route_telemetry(
+                    args.task, batch, per_token=True
+                )
+                for i in range(len(batch)):
+                    dump_token_routes(routes, route_dir, sample_idx + i, i)
             for i, rec in enumerate(batch):
                 row = {k: v for k, v in rec.items() if isinstance(v, (str, int, float, list))}
                 row["predict"] = out.texts[i]
@@ -156,6 +174,7 @@ def main(argv=None):
                     save_mask_png(logits, os.path.join(mask_dir, name), task.avss_head)
                     row["pred_mask"] = name
                 f.write(json.dumps(row) + "\n")
+            sample_idx += len(batch)
     wall = time.time() - t0
     print(f"{len(records)} samples in {wall:.1f}s "
           f"({len(records)/max(wall,1e-9):.2f} clips/s)")

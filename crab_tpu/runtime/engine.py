@@ -243,6 +243,25 @@ class InferenceEngine:
         (``inference_hyper_lora.py`` per-sample loop). Here the shared
         media is encoded once and the bank tiled across the batch — only
         the tiny per-frame seg_image encode runs per record."""
+        return self._finalize(self._dispatch_clip(task_name, records))
+
+    def run_clip_stream(self, task_name: str, clip_groups, depth: int = 2):
+        """Pipelined run_clip over many clips (same overlap discipline as
+        run_stream): host prep + H2D of clip i+1 overlap device execution
+        of clip i. AVS full splits are thousands of clips of ~5 records;
+        a synchronous loop pays the host media plane on the critical path."""
+        from collections import deque
+
+        pending: deque = deque()
+        for records in clip_groups:
+            pending.append(self._dispatch_clip(task_name, records))
+            if len(pending) > depth:
+                yield self._finalize(pending.popleft())
+        while pending:
+            yield self._finalize(pending.popleft())
+
+    def _dispatch_clip(self, task_name: str, records: List[Dict]):
+        """Host work + async device dispatch for one clip; no sync."""
         task = TASKS[task_name]
         assert task.frame_media is not None, f"{task_name} has no frame_media"
         B = len(records)
@@ -299,7 +318,7 @@ class InferenceEngine:
             seg_imgs = jnp.asarray(np.stack([f["seg_image"] for f in frames]))
             seg_taps = taps_fn(self.params, seg_imgs)
             masks, found = seg_fn(self.params["seg"], res.tokens, res.hidden, seg_taps)
-        return self._finalize((res, masks, found))
+        return res, masks, found
 
     def _clip_seg_programs(self, head: str):
         key = ("clip-seg", head)

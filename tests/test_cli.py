@@ -253,3 +253,40 @@ def test_evaluate_cli_avss_head(tmp_path):
     )
     assert summary["n"] == 1
     assert "miou" in summary and "miou_noBg" in summary
+
+
+def test_evaluate_cli_dump_routes(tmp_path):
+    """--dump-routes writes reference-layout per-sample route dumps
+    ({q,k,v,o}_token_weight.npy, (T, L, 1, E)) alongside the JSONL."""
+    import numpy as np
+
+    from crab_tpu.cli.evaluate import main
+    from crab_tpu.core.config import crab_tiny
+
+    ann = [
+        {
+            "audio_path": f"{ASSETS}/ave/-67UNKFmRLk.mp3",
+            "video_path": f"{ASSETS}/ave/-67UNKFmRLk.mp4",
+            "question": "what instrument?",
+            "answer": "piano",
+        }
+    ] * 2
+    annp = tmp_path / "avqa.json"
+    annp.write_text(json.dumps(ann))
+    out = tmp_path / "eval"
+    summary = main(
+        ["--task", "avqa", "--annotations", str(annp), "--random-init",
+         "--tiny", "--out", str(out), "--batch-size", "2", "--dump-routes"]
+    )
+    assert summary["n"] == 2
+    cfg = crab_tiny()
+    for s in ("0", "1"):
+        d = out / "routes" / s
+        for k in ("q", "k", "v", "o"):
+            arr = np.load(d / f"{k}_token_weight.npy")
+            assert arr.ndim == 4
+            assert arr.shape[1] == cfg.decoder.num_layers
+            assert arr.shape[2] == 1
+            assert arr.shape[3] == cfg.decoder.lora.num_experts
+            # router weights: softmaxed, rows sum to 1
+            np.testing.assert_allclose(arr.sum(-1), 1.0, rtol=1e-3)

@@ -299,3 +299,38 @@ def test_run_clip_matches_per_record(tmp_path):
         clip_out.masks, per_out.masks, rtol=1e-4, atol=1e-4
     )
     np.testing.assert_array_equal(clip_out.mask_found, per_out.mask_found)
+
+
+def test_run_clip_stream_matches_run_clip(tmp_path):
+    """Depth-2 pipelined clip path yields the same outputs in order."""
+    import jax
+
+    from crab_tpu.core.config import crab_tiny
+    from crab_tpu.fusion.tokens import SpecialTokens
+    from crab_tpu.runtime.engine import InferenceEngine
+    from crab_tpu.runtime.model import init_crab
+
+    root = str(tmp_path / "AVS")
+    _fake_avsbench(root)
+    recs = ms3_split(root, "test")
+    cfg = crab_tiny()
+    special = SpecialTokens(base_vocab=400)
+    params = init_crab(jax.random.PRNGKey(0), cfg)
+
+    class Tok:
+        def encode(self, t):
+            import zlib
+
+            return [7 + (zlib.crc32(w.encode()) % 300) for w in t.split()]
+
+        def decode(self, ids):
+            return " ".join(map(str, ids))
+
+    engine = InferenceEngine(cfg, params, Tok(), special, eos_id=2)
+    groups = [recs[:2], recs[2:4], recs[:3]]
+    ref = [engine.run_clip("ms3-eval", g) for g in groups]
+    got = list(engine.run_clip_stream("ms3-eval", groups, depth=2))
+    assert len(got) == len(ref)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r.tokens, g.tokens)
+        np.testing.assert_allclose(r.masks, g.masks, rtol=1e-4, atol=1e-4)
