@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Serving-engine benchmark: mixed-length trace, batch vs continuous.
+
+Measures the claim at runtime/continuous.py:3-8 ("chip time follows
+per-request lengths") instead of asserting it: a synthetic trace of
+requests with mixed prompt lengths (~400-1200 tokens via question text)
+and mixed decode budgets (20-100 tokens) runs through
+
+  (a) the batch engine (InferenceEngine.run_stream, groups of 8 decoded
+      in lock-step to the group's max budget — the reference's serving
+      shape, inference_hyper_lora.py:1477-1479), and
+  (b) the continuous engine (slot scheduler, chunked decode), whole-
+      prompt admission and chunked-prefill admission.
+
+Output: one JSON line per engine config with requests/s and per-request
+finish-latency p50/p99 (all requests arrive at t0, so finish latency is
+scheduling-sensitive: lock-step batches hold short requests hostage to
+the batch max).
+
+Env: CRAB_SERVE_N (default 24 requests), CRAB_SERVE_SLOTS (8),
+CRAB_SERVE_WBITS (8).
+"""
+
+import json
+import os
+import sys
+import time
+import zlib
+
+import numpy as np
+
+N_REQ = int(os.environ.get("CRAB_SERVE_N", "24"))
+SLOTS = int(os.environ.get("CRAB_SERVE_SLOTS", "8"))
+SEED = 7
+
+
+def build_trace(rng, n):
+    """Mixed prompts: word counts chosen so bucketed prompt lengths vary
+    (media tokens fixed at 640 + text), decode budgets 20-100."""
+    trace = []
+    for i in range(n):
+        words = int(rng.integers(4, 260))
+        q = " ".join(
+            rng.choice(["what", "sound", "left", "instrument", "is",
+                        "playing", "first", "loud", "drum", "piano"])
+            for _ in range(words)
+        )
+        trace.append(
+            {
+                "task": "bench-avqa",
+                "sample": {
+                    "question": q,
+                    "media": {
+                        "video": rng.integers(
+                            0, 255, (10, 224, 224, 3)
+                        ).astype(np.uint8),
+                        "audio": (
+                            rng.standard_normal((10, 32000)) * 0.05
+                        ).astype(np.float32),
+                    },
+                },
+                "max_new": int(rng.integers(20, 101)),
+            }
+        )
+    return trace
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    import dataclasses
+
+    from crab_tpu.core.config import crab_7b
+    from crab_tpu.fusion.tokens import SpecialTokens
+    from crab_tpu.lm.quant import init_llama_int8
+    from crab_tpu.encoders.beats import init_beats
+    from crab_tpu.encoders.clip_vit import init_clip_vit
+    from crab_tpu.encoders.projectors import init_projector
+    from crab_tpu.runtime.engine import InferenceEngine
+    from crab_tpu.runtime.continuous import ContinuousEngine
+    from crab_tpu.tasks import registry
+    import jax.numpy as jnp
+
+    cfg = crab_7b().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
+    cfg = cfg.replace(
+        decoder=dataclasses.replace(cfg.decoder, int8_activations=True)
+    )
+    special = SpecialTokens(base_vocab=32000)
+
+    @jax.jit
+    def init_all(key):
+        ks = jax.random.split(key, 5)
+        return {
+            "vision": init_clip_vit(ks[0], cfg.vision, jnp.bfloat16),
+            "audio": init_beats(ks[1], cfg.audio, jnp.bfloat16),
+            "vl_projector": init_projector(
+                ks[2], cfg.vl_projector, cfg.decoder.hidden_size, jnp.bfloat16
+            ),
+            "al_projector": init_projector(
+                ks[3], cfg.al_projector, cfg.decoder.hidden_size, jnp.bfloat16
+            ),
+            "decoder": init_llama_int8(ks[4], cfg.decoder),
+        }
+
+    t0 = time.time()
+    params = init_all(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print(f"# init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    class BenchTokenizer:
+        def encode(self, text):
+            ids = []
+            for w in text.replace(">", "> ").replace("<", " <").split():
+                ids.append(
+                    special.token_to_id.get(
+                        w, 7 + (zlib.crc32(w.encode()) % 20000)
+                    )
+                )
+            return ids
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    engine = InferenceEngine(
+        cfg, params, BenchTokenizer(), special, eos_id=2, pad_id=0,
+        pack_donate=True,
+    )
+    del params
+
+    q_tokens = cfg.al_projector.num_query_tokens
+    bench_task = registry.TaskSpec(
+        "bench-avqa",
+        lambda s: registry.prompts.avqa_instruction(s["question"]),
+        lambda s: s["media"],
+        dict(registry.TASKS["avqa"].feature_lens),
+        max_new_tokens=100,
+    )
+    registry.TASKS["bench-avqa"] = bench_task
+
+    rng = np.random.default_rng(SEED)
+    trace = build_trace(rng, N_REQ)
+    budgets = [r["max_new"] for r in trace]
+    results = []
+
+    # ---- (a) batch engine: groups of SLOTS, lock-step to group max ----
+    def run_batch():
+        lat = np.zeros(N_REQ)
+        t_start = time.time()
+        for lo in range(0, N_REQ, SLOTS):
+            group = trace[lo: lo + SLOTS]
+            mx = max(r["max_new"] for r in group)
+            t = registry.TaskSpec(
+                f"bench-avqa-{mx}", bench_task.instruction, bench_task.media,
+                dict(bench_task.feature_lens), max_new_tokens=mx,
+            )
+            registry.TASKS[t.name] = t
+            engine.run(t.name, [r["sample"] for r in group])
+            done = time.time() - t_start
+            lat[lo: lo + len(group)] = done
+        return time.time() - t_start, lat
+
+    # warm (compile) then measure
+    t0 = time.time()
+    wall, _ = run_batch()
+    print(f"# batch warm (compiles): {time.time()-t0:.1f}s", file=sys.stderr)
+    wall, lat = run_batch()
+    results.append({
+        "engine": "batch",
+        "requests_per_s": round(N_REQ / wall, 3),
+        "p50_finish_s": round(float(np.percentile(lat, 50)), 2),
+        "p99_finish_s": round(float(np.percentile(lat, 99)), 2),
+        "wall_s": round(wall, 2),
+    })
+    print(f"# batch: {results[-1]}", file=sys.stderr)
+
+    # ---- (b) continuous engine ----
+    for pf_chunk in (0, 256):
+        cb = ContinuousEngine(
+            engine, slots=SLOTS, max_len=1792, chunk=16,
+            prefill_chunk=pf_chunk,
+        )
+        finish = {}
+        orig = cb._finish
+
+        def timed_finish(req, _orig=orig, _t={}):
+            finish[req.idx] = time.time()
+            _orig(req)
+
+        cb._finish = timed_finish
+        t0 = time.time()
+        cb.run_requests(trace)
+        print(f"# continuous pf={pf_chunk} warm: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        finish.clear()
+        t0 = time.time()
+        cb.run_requests(trace)
+        wall = time.time() - t0
+        lat = np.asarray([finish[i] - t0 for i in range(N_REQ)])
+        results.append({
+            "engine": f"continuous(pf={pf_chunk})",
+            "requests_per_s": round(N_REQ / wall, 3),
+            "p50_finish_s": round(float(np.percentile(lat, 50)), 2),
+            "p99_finish_s": round(float(np.percentile(lat, 99)), 2),
+            "wall_s": round(wall, 2),
+        })
+        print(f"# continuous(pf={pf_chunk}): {results[-1]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "serving_mixed_trace",
+        "n_requests": N_REQ,
+        "slots": SLOTS,
+        "decode_budget_tokens": [int(min(budgets)), int(max(budgets))],
+        "engines": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -169,3 +169,72 @@ def test_continuous_bad_request_isolated(engine, monkeypatch):
     ])
     assert "error" in out[0] and out[0]["tokens"] == []
     assert "error" not in out[1] and len(out[1]["tokens"]) == 3
+
+
+def test_continuous_post_deposit_failure_retires_slot(engine, monkeypatch):
+    """If _admit fails AFTER the deposit landed on device (e.g. a device
+    error surfacing at the first-token sync), the slot must be retired —
+    otherwise it stays active, decodes garbage every chunk, and is never
+    freed on the host side."""
+    from crab_tpu.runtime import continuous as cont
+    from crab_tpu.tasks import registry
+
+    task = _task("tiny-cb4")
+    monkeypatch.setitem(registry.TASKS, "tiny-cb4", task)
+    rng = np.random.default_rng(9)
+    samples = [
+        {"question": "first poisoned", "_media": _media(rng)},
+        {"question": "second fine", "_media": _media(rng)},
+    ]
+    expected = engine.run("tiny-cb4", [samples[1]]).texts[0]
+
+    cb = ContinuousEngine(engine, slots=1, max_len=128, chunk=3)
+    orig_admit = cb._admit
+    calls = {"n": 0}
+
+    def poisoned_admit(req, slot, **kw):
+        calls["n"] += 1
+        orig_admit(req, slot, **kw)  # deposit lands, req.slot is set
+        if calls["n"] == 1:
+            raise RuntimeError("simulated device error at first-token sync")
+
+    monkeypatch.setattr(cb, "_admit", poisoned_admit)
+    out = cb.run_requests([{"task": "tiny-cb4", "sample": s} for s in samples])
+    assert "error" in out[0] and out[0]["tokens"] == []
+    # the good request got the slot and decoded correctly
+    assert "error" not in out[1] and out[1]["text"] == expected
+    # no slot leaked active
+    assert not bool(np.asarray(cb.state.active).any())
+
+
+def test_chunked_prefill_admission_token_parity(engine, monkeypatch):
+    """prefill_chunk admission (prompt fed in pieces through the slot
+    cache, decode chunks interleaved) must not change any request's
+    greedy tokens — scheduling changes, results don't."""
+    from crab_tpu.tasks import registry
+
+    task = _task("tiny-cb5", max_new=9)
+    monkeypatch.setitem(registry.TASKS, "tiny-cb5", task)
+    rng = np.random.default_rng(21)
+    samples = [
+        {"question": "what sounds first in this clip", "_media": _media(rng)},
+        {
+            "question": "which of the instruments on the left side is "
+            "playing louder than the rest of the band right now and why "
+            "does it keep changing its rhythm all the time", 
+            "_media": _media(rng),
+        },
+        {"question": "who", "_media": _media(rng)},
+        {"question": "how many players are there", "_media": _media(rng)},
+    ]
+    expected = [engine.run("tiny-cb5", [s]).texts[0] for s in samples]
+
+    # piece size smaller than the prompt bucket so chunking really
+    # happens (prompt buckets here are 64/128), 2 slots so admissions
+    # interleave with active decodes
+    cb = ContinuousEngine(
+        engine, slots=2, max_len=256, chunk=3, prefill_chunk=32
+    )
+    got = cb.run([{"task": "tiny-cb5", "sample": s} for s in samples])
+    assert got == expected
+    assert not bool(np.asarray(cb.state.active).any())
