@@ -2,38 +2,56 @@
 """crab_tpu benchmark — end-to-end AVQA-shape inference on one TPU chip.
 
 Measures the BASELINE.md primary metric (AV-UIE clips/sec/chip) on the
-flagship crab-7b configuration in bf16: CLIP over 10 frames + BEATs over
-10x2s audio (fbank on device) + Q-Former projectors + multimodal splice +
-LLaMA-2-7B prefill (~700 tokens) + 64 greedy decode steps.
+flagship crab-7b configuration: CLIP over 10 frames + BEATs over 10x2s
+audio (fbank on device) + Q-Former projectors + multimodal splice +
+LLaMA-2-7B prefill (~700 tokens) + greedy decode. Weights are random (no
+checkpoints ship with this environment); compute cost is identical to
+trained weights.
 
-Weights are random (no checkpoints ship with this environment); compute
-cost is identical to trained weights. Decode length is fixed at 64 so the
-number is stable run-to-run.
+Decode budgets. The reference caps NTP decoding at max_new_tokens=500
+(``scripts/quick_start.py:39``) but HF generate STOPS AT EOS — with
+trained weights real Crab answers are short ("<answer>yes</answer>" ~10
+tokens for AVQA; AVE/AVVP event lists ~20-60; ARIG coordinates ~35).
+Random weights never emit EOS, so this bench reports BOTH framings:
+  - the 64-token row (its decode length brackets the expected answer
+    length of 6 of the 9 tasks, and it is stable run to run), and
+  - the measured full-budget batch-8 500-token row (worst case: every
+    sample exhausts the cap), plus a decode-length -> clips/s curve
+    derived from the measured per-token slope.
 
-vs_baseline: the reference never measured throughput (SURVEY.md §6). The
-denominator is an analytic A100 estimate for the reference stack (HF
-eager + peft MoE-LoRA fp16, decode-bound: ~45 ms/step * 64 + prefill +
-encoders + CPU media plane ≈ 4 s/clip ≈ 0.25 clips/s). Treat it as an
-order-of-magnitude anchor, not a measurement.
+vs_baseline. The reference never measured throughput (SURVEY.md §6).
+The denominator is an analytic batch-8 A100 anchor with the assumptions
+stated: HF eager fp16 7B + peft MoE-LoRA decodes at ~45 ms/step at batch
+8, plus ~1.5 s/batch for prefill + encoders + the CPU media plane
+(decord/librosa/fbank under a 4-worker DataLoader), i.e.
+rate_A100(n) = 8 / (1.5 + 0.045 n) clips/s — 1.8 at n=64, 0.33 at
+n=500. vs_baseline compares at the SAME decode length (apples to
+apples). The BASELINE.md north star (">5x A100 end-to-end on v5e-8")
+refers to the 8-chip pod: clips/s/chip x 8 (DP replication, no
+cross-chip traffic at these batch sizes) vs one A100.
 
-Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
+Output: one JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
-import zlib
+import dataclasses
 import json
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 
-A100_BASELINE_CLIPS_PER_SEC = 0.25  # analytic estimate, see docstring
 MAX_NEW_TOKENS = 64
-DECODE_DTYPE = "bfloat16"
 BATCH = int(os.environ.get("CRAB_BENCH_BATCH", "8"))  # reference NTP batch is 8
 # weight bits: 8 = per-channel int8 (XLA mixed conv); 4 = group-int4
 # via the Pallas W4A16 kernel (ops/w4a16_matmul.py)
 WBITS = int(os.environ.get("CRAB_BENCH_WBITS", "8"))
+
+
+def a100_anchor(n_tokens: int) -> float:
+    """Analytic reference throughput at decode length n (see docstring)."""
+    return 8.0 / (1.5 + 0.045 * n_tokens)
 
 
 def main():
@@ -52,25 +70,19 @@ def main():
     from crab_tpu.core.config import crab_7b
     from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.runtime.engine import InferenceEngine
-    from crab_tpu.runtime.model import init_crab
     from crab_tpu.tasks import registry
 
     assert jax.default_backend() in ("tpu", "axon"), (
         f"bench expects a TPU backend, got {jax.default_backend()}"
     )
 
-    import dataclasses
-
-    cfg = crab_7b().replace(compute_dtype=DECODE_DTYPE, param_dtype=DECODE_DTYPE)
-    # KV cache dtype: measured on-chip (tools/micro_ablate.py), bf16 KV +
-    # XLA decode attention is 15.9 ms/step vs 22.2 with the int8-KV Pallas
-    # kernel at S~=832/batch 8 — the kernel's grid is overhead-bound at
-    # short S; it remains the right call for long-S memory headroom.
-    # bf16 cache at batch 8, S<=1204 fits alongside int8 weights.
-    kv_quant = os.environ.get("CRAB_BENCH_KVQ", "0") == "1"
-    # W8A8 prefill (s8xs8 MXU at 2x the bf16 rate): the serving default
-    # here, labeled in the unit string; CRAB_BENCH_A8=0 gives the
-    # bit-conservative W8A16 prefill (DecoderConfig.int8_activations).
+    cfg = crab_7b().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
+    # KV cache: int8 via the XLA mixed-dot decode attention — measured
+    # on-chip vs bf16 KV at the packed 7B (tools/micro_kv8_model.py):
+    # 14.81 vs 15.01 ms/step at S~750, and HALF the cache memory, which
+    # is what lets batch 8 x 500-token decode fit next to int8 weights.
+    kv_quant = os.environ.get("CRAB_BENCH_KVQ", "1") == "1"
+    # W8A8 prefill (s8xs8 MXU at 2x the bf16 rate): serving default.
     a8 = os.environ.get("CRAB_BENCH_A8", "1") == "1"
     cfg = cfg.replace(
         decoder=dataclasses.replace(
@@ -81,16 +93,12 @@ def main():
 
     t0 = time.time()
     # encoders in bf16, decoder directly in int8: bf16 7B weights + KV
-    # cache + encoders exceed the ~15 GiB usable HBM of one v5e chip
-    # (measured); int8 weight-only is the single-chip serving config.
+    # cache + encoders exceed the ~15 GiB usable HBM of one v5e chip.
     from crab_tpu.lm.quant import init_llama_int8, init_llama_w4
     from crab_tpu.encoders.beats import init_beats
     from crab_tpu.encoders.clip_vit import init_clip_vit
     from crab_tpu.encoders.projectors import init_projector
 
-    # one jitted init program: ~1000 individual random-init dispatches
-    # through the device relay cost 60-130 s; a single compiled (and
-    # persistently cached) program takes seconds.
     @jax.jit
     def init_all(key):
         ks = jax.random.split(key, 5)
@@ -103,8 +111,6 @@ def main():
             "al_projector": init_projector(
                 ks[3], cfg.al_projector, cfg.decoder.hidden_size, jnp.bfloat16
             ),
-            # AVQA path doesn't touch the seg head. WBITS=4: packed
-            # group-int4 layout driving the Pallas W4A16 decode kernel.
             "decoder": (
                 init_llama_w4(ks[4], cfg.decoder)
                 if WBITS == 4
@@ -132,15 +138,18 @@ def main():
     )
     del params  # the donated tree is dead; drop the reference
 
-    # AVQA-shape bench task: same media recipe shapes, fixed 64-step decode
-    bench_task = registry.TaskSpec(
-        "bench-avqa",
-        lambda s: registry.prompts.avqa_instruction(s["question"]),
-        lambda s: s["media"],
-        dict(registry.TASKS["avqa"].feature_lens),
-        max_new_tokens=MAX_NEW_TOKENS,
-    )
-    registry.TASKS["bench-avqa"] = bench_task
+    def bench_task_named(name, max_new):
+        t = registry.TaskSpec(
+            name,
+            lambda s: registry.prompts.avqa_instruction(s["question"]),
+            lambda s: s["media"],
+            dict(registry.TASKS["avqa"].feature_lens),
+            max_new_tokens=max_new,
+        )
+        registry.TASKS[name] = t
+        return t
+
+    task = bench_task_named("bench-avqa", MAX_NEW_TOKENS)
 
     rng = np.random.default_rng(0)
     samples = [
@@ -170,12 +179,10 @@ def main():
     clips_per_sec = BATCH / dt
     print(f"# steady-state: {dt*1000:.0f} ms/batch of {BATCH}", file=sys.stderr)
 
-    # ---- stage breakdown (batch 8): encode vs prefill+decode ----------
-    # re-run the already-compiled programs with explicit blocking between
-    # stages; host/prep time is the remainder of the e2e batch time.
+    # ---- slope-based decode + resident encode (VERDICT r02: the old
+    # fetch-forced stage breakdown was tunnel-polluted) ----------------
     from crab_tpu.fusion.splice import build_splice_batch
 
-    task = registry.TASKS["bench-avqa"]
     specs, medias = [], []
     for s in samples:
         spec, media = engine.build_sample(task, s)
@@ -186,29 +193,62 @@ def main():
         specs, special, pad_to=engine._pad_len(specs, task), pad_id=engine.pad_id
     )
     media_batch = engine._media_batch(medias)
-    encode_fn, gen_fn, _ = engine._program_for(
-        tuple(sorted(media_batch)), False, "binary"
-    )
     host_ms = (time.time() - t_host0) * 1000
-    t1 = time.time()
-    bank, _ = encode_fn(engine.params, media_batch)
-    np.asarray(bank[0, 0])  # force through the lazy relay
-    encode_ms = (time.time() - t1) * 1000
-    t1 = time.time()
-    res = gen_fn(
-        engine.params["decoder"], bank, jnp.asarray(sb.text_ids),
-        jnp.asarray(sb.feat_idx), jnp.asarray(sb.attention_mask),
-        jnp.asarray(sb.position_ids), MAX_NEW_TOKENS,
-    )
-    np.asarray(res.tokens[0, -1])
-    gen_ms = (time.time() - t1) * 1000
+
+    # resident encode: media already on device; chain N encodes through a
+    # data dependency (the lazy relay skips unfetched independent work)
+    def encode_chain(n):
+        def fn(params, media):
+            def body(i, acc):
+                m = dict(media)
+                m["audio"] = media["audio"] + (acc * 0).astype(media["audio"].dtype)
+                bank, _ = engine._encode_bank(params, m, False)
+                return acc + bank[0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+        f = jax.jit(fn)
+        float(f(engine.params, media_batch))  # compile+first
+        best = 1e9
+        for _ in range(2):
+            t1 = time.time()
+            float(f(engine.params, media_batch))
+            best = min(best, time.time() - t1)
+        return best
+
+    e2, e8 = encode_chain(2), encode_chain(8)
+    encode_ms_resident = max((e8 - e2) / 6.0, 0.0) * 1000
+
+    # decode slope: same uploaded bank, generate at two budgets; the
+    # difference cancels prefill, encode, and relay round trips
+    bench_task_named("bench-avqa-16", 16)
+    bench_task_named("bench-avqa-80", 80)
+
+    def gen_time(name, reps=2):
+        engine.run(name, samples)  # compile
+        best = 1e9
+        for _ in range(reps):
+            t1 = time.time()
+            engine.run(name, samples)
+            best = min(best, time.time() - t1)
+        return best
+
+    t16 = gen_time("bench-avqa-16")
+    t80 = gen_time("bench-avqa-80")
+    decode_ms_slope = (t80 - t16) / 64.0 * 1000
+    fixed_s = t16 - 16 * decode_ms_slope / 1000  # encode+prefill+host+fetch
     breakdown = {
         "host_prep_ms": round(host_ms, 1),
-        "encode_ms": round(encode_ms, 1),
-        "prefill_decode_ms": round(gen_ms, 1),
-        "decode_ms_per_token_est": round(gen_ms / (MAX_NEW_TOKENS + 12), 2),
+        "encode_ms_resident": round(encode_ms_resident, 1),
+        "decode_ms_slope": round(decode_ms_slope, 2),
+        "fixed_overhead_ms": round(fixed_s * 1000, 1),
     }
     print(f"# stage breakdown: {breakdown}", file=sys.stderr)
+
+    # decode-length -> clips/s curve from the measured slope (sync path;
+    # the streamed 64-token row above is the pipelined configuration)
+    curve = {
+        str(n): round(BATCH / (fixed_s + n * decode_ms_slope / 1000), 2)
+        for n in (16, 32, 64, 128, 500)
+    }
 
     # ---- p50/p99 single-query latency (BASELINE.json primary metric) ---
     lat_iters = int(os.environ.get("CRAB_BENCH_LAT_ITERS", "5"))
@@ -226,40 +266,59 @@ def main():
     print(f"# p50 {p50:.0f} ms  p99 {p99:.0f} ms (batch 1, "
           f"{MAX_NEW_TOKENS} tokens)", file=sys.stderr)
 
-    # reference-comparable budget: the reference decodes NTP tasks with
-    # max_new_tokens=500 (quick_start.py:39). Random weights never emit
-    # EOS, so this is the worst-case full-budget latency.
+    # ---- full-budget rows: the reference's max_new_tokens=500 ---------
     lat500 = None
+    clips500 = None
     if os.environ.get("CRAB_BENCH_500", "1") == "1":
-        t500 = registry.TaskSpec(
-            "bench-avqa-500", task.instruction, task.media,
-            dict(task.feature_lens), max_new_tokens=500,
-        )
-        registry.TASKS["bench-avqa-500"] = t500
+        bench_task_named("bench-avqa-500", 500)
         t1 = time.time()
         engine.run("bench-avqa-500", samples[:1])
         print(f"# 500-token compile+first: {time.time()-t1:.1f}s", file=sys.stderr)
         t1 = time.time()
         engine.run("bench-avqa-500", samples[:1])
         lat500 = (time.time() - t1) * 1000
-        print(f"# 500-token budget latency: {lat500:.0f} ms", file=sys.stderr)
+        print(f"# 500-token batch-1 latency: {lat500:.0f} ms", file=sys.stderr)
+        if kv_quant:
+            # batch-8 full budget (needs the int8 KV cache: bf16 KV at
+            # S~1204 would be 10.2 GB next to 6.7 GB weights)
+            t1 = time.time()
+            engine.run("bench-avqa-500", samples)
+            print(f"# 500-token batch-8 compile+first: {time.time()-t1:.1f}s",
+                  file=sys.stderr)
+            best = 1e9
+            for _ in range(2):
+                t1 = time.time()
+                engine.run("bench-avqa-500", samples)
+                best = min(best, time.time() - t1)
+            clips500 = BATCH / best
+            print(f"# 500-token batch-{BATCH}: {best:.1f} s/batch "
+                  f"({clips500:.3f} clips/s)", file=sys.stderr)
 
     record = {
         "metric": "avqa_e2e_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 4),
         "unit": (
             f"clips/s (7B int{WBITS}-weight/"
-            f"{'int8-act-prefill' if a8 else 'bf16-act'}, batch {BATCH}, "
+            f"{'int8-act-prefill' if a8 else 'bf16-act'}/"
+            f"{'int8' if kv_quant else 'bf16'}-KV, batch {BATCH}, "
             "10f video "
             f"+ 10x2s audio, {MAX_NEW_TOKENS} decode steps)"
         ),
-        "vs_baseline": round(clips_per_sec / A100_BASELINE_CLIPS_PER_SEC, 3),
+        # same-decode-length analytic A100 anchor (see module docstring)
+        "vs_baseline": round(clips_per_sec / a100_anchor(MAX_NEW_TOKENS), 3),
         "p50_latency_ms": round(p50, 1),
         "p99_latency_ms": round(p99, 1),
         "stage_breakdown": breakdown,
+        "clips_per_sec_by_decode_len": curve,
+        "a100_anchor_by_decode_len": {
+            str(n): round(a100_anchor(n), 3) for n in (16, 32, 64, 128, 500)
+        },
     }
     if lat500 is not None:
         record["latency_500tok_budget_ms"] = round(lat500, 1)
+    if clips500 is not None:
+        record["clips_per_sec_500tok_batch8"] = round(clips500, 4)
+        record["vs_a100_500tok"] = round(clips500 / a100_anchor(500), 2)
     print(json.dumps(record))
 
 

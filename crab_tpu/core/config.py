@@ -150,6 +150,12 @@ class DecoderConfig:
     # quantization is near-lossless on most inputs but is NOT bit-parity
     # (LLM.int8-style outlier channels can degrade 7B quality).
     int8_activations: bool = False
+    # layer-scan unroll factor. At full unroll (= num_layers) the layer
+    # index becomes a compile-time constant, so per-layer KV cache reads
+    # are static slices instead of dynamic gathers (which XLA may
+    # materialize as copies inside the decode step). Costs compile time;
+    # measured on-chip before changing the default (tools/README.md).
+    scan_unroll: int = 1
     lora: Optional[MoELoRAConfig] = field(default_factory=MoELoRAConfig)
 
 

@@ -476,6 +476,7 @@ def llama_apply(
         body,
         (x, *init_bufs),
         (params["layers"], jnp.arange(cfg.num_layers)),
+        unroll=min(cfg.scan_unroll, cfg.num_layers),
     )
 
     x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)

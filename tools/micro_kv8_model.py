@@ -26,8 +26,10 @@ B = int(_os.environ.get("KV8_B", "8"))
 base = crab_7b().decoder
 
 
-def slope(T, kvq, kernel="xla", reps=2):
-    cfg = dataclasses.replace(base, kv_quant=kvq, kv_kernel=kernel)
+def slope(T, kvq, kernel="xla", reps=2, unroll=1):
+    cfg = dataclasses.replace(
+        base, kv_quant=kvq, kv_kernel=kernel, scan_unroll=unroll
+    )
     params = jax.jit(lambda k: init_llama_int8(k, cfg))(jax.random.PRNGKey(0))
     params = pack_decoder(params, cfg, donate=True)
     emb = jax.jit(
@@ -56,7 +58,8 @@ def slope(T, kvq, kernel="xla", reps=2):
     d80, c2 = timed(80)
     s = (d80 - d16) / 64.0
     print(
-        f"T={T} B={B} kvq={int(kvq)} kernel={kernel}: decode {s:.2f} ms/step, "
+        f"T={T} B={B} kvq={int(kvq)} kernel={kernel} unroll={unroll}: "
+        f"decode {s:.2f} ms/step, "
         f"prefill+ovh {d16 - 16*s:.0f} ms (compiles {c1:.0f}/{c2:.0f}s)",
         flush=True,
     )
@@ -72,5 +75,7 @@ import sys
 
 configs = sys.argv[1:] or ["704:1:xla", "704:0:xla", "1100:1:xla"]
 for c in configs:
-    T, kvq, kernel = c.split(":")
-    slope(int(T), kvq == "1", kernel)
+    parts = c.split(":")
+    T, kvq, kernel = parts[0], parts[1], parts[2]
+    unroll = int(parts[3]) if len(parts) > 3 else 1
+    slope(int(T), kvq == "1", kernel, unroll=unroll)
