@@ -43,7 +43,12 @@ import zlib
 import numpy as np
 
 MAX_NEW_TOKENS = 64
-BATCH = int(os.environ.get("CRAB_BENCH_BATCH", "8"))  # reference NTP batch is 8
+# Serving batch. The reference serves batch 8 (inference_hyper_lora.py:1477);
+# our batch is a free serving parameter, and with the int8 KV cache the
+# chip takes 16 (measured: 17.57 ms/step at B=16 vs 14.81 at B=8 — 1.10
+# vs 1.85 ms/step/clip; tools/README.md). The A100 anchor stays the
+# reference's own batch-8 config; comparison is at equal decode LENGTH.
+BATCH = int(os.environ.get("CRAB_BENCH_BATCH", "16"))
 # weight bits: 8 = per-channel int8 (XLA mixed conv); 4 = group-int4
 # via the Pallas W4A16 kernel (ops/w4a16_matmul.py)
 WBITS = int(os.environ.get("CRAB_BENCH_WBITS", "8"))
@@ -279,19 +284,32 @@ def main():
         lat500 = (time.time() - t1) * 1000
         print(f"# 500-token batch-1 latency: {lat500:.0f} ms", file=sys.stderr)
         if kv_quant:
-            # batch-8 full budget (needs the int8 KV cache: bf16 KV at
-            # S~1204 would be 10.2 GB next to 6.7 GB weights)
-            t1 = time.time()
-            engine.run("bench-avqa-500", samples)
-            print(f"# 500-token batch-8 compile+first: {time.time()-t1:.1f}s",
-                  file=sys.stderr)
+            # batched full budget (needs the int8 KV cache: bf16 KV at
+            # S~1204/B8 would be 10.2 GB next to 6.7 GB weights); falls
+            # back to batch 8 if the full batch's cache doesn't fit
+            b500 = BATCH
+            for attempt in (BATCH, 8):
+                b500 = attempt
+                try:
+                    t1 = time.time()
+                    engine.run("bench-avqa-500", samples[:b500])
+                    print(
+                        f"# 500-token batch-{b500} compile+first: "
+                        f"{time.time()-t1:.1f}s", file=sys.stderr,
+                    )
+                    break
+                except Exception as e:  # noqa: BLE001 — HBM OOM at fetch
+                    if attempt == 8:
+                        raise
+                    print(f"# 500-token batch-{attempt} failed ({e!s:.120}); "
+                          "retrying at batch 8", file=sys.stderr)
             best = 1e9
             for _ in range(2):
                 t1 = time.time()
-                engine.run("bench-avqa-500", samples)
+                engine.run("bench-avqa-500", samples[:b500])
                 best = min(best, time.time() - t1)
-            clips500 = BATCH / best
-            print(f"# 500-token batch-{BATCH}: {best:.1f} s/batch "
+            clips500 = b500 / best
+            print(f"# 500-token batch-{b500}: {best:.1f} s/batch "
                   f"({clips500:.3f} clips/s)", file=sys.stderr)
 
     record = {
@@ -317,7 +335,8 @@ def main():
     if lat500 is not None:
         record["latency_500tok_budget_ms"] = round(lat500, 1)
     if clips500 is not None:
-        record["clips_per_sec_500tok_batch8"] = round(clips500, 4)
+        record["clips_per_sec_500tok"] = round(clips500, 4)
+        record["batch_500tok"] = b500
         record["vs_a100_500tok"] = round(clips500 / a100_anchor(500), 2)
     print(json.dumps(record))
 

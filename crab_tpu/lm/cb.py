@@ -38,6 +38,7 @@ from crab_tpu.lm.llama import (
     _proj,
     _rope,
     llama_apply,
+    lm_head_logits,
 )
 
 
@@ -220,7 +221,7 @@ def cb_decode_chunk(
             hid_buf = jax.lax.dynamic_update_slice(
                 hid_buf, x[:, -1][:, None, :], (0, i, 0)
             )
-        logits = (x[:, -1] @ params["lm_head"]).astype(jnp.float32)
+        logits = lm_head_logits(params, x[:, -1])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         emit = jnp.where(st.active, nxt, pad_id)
         out = jax.lax.dynamic_update_slice(out, emit[:, None], (0, i))

@@ -226,6 +226,16 @@ def _attention(q, k, v, mask, num_heads, num_kv_heads):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, H * hd)
 
 
+def lm_head_logits(params, head_in):
+    """fp32 logits across the head storage formats: bf16 'lm_head' or
+    per-vocab-channel int8 'lm_head_q'+'lm_head_s' (saves a 262 MB bf16
+    read per decode step and 131 MB of HBM at 7B)."""
+    if "lm_head_q" in params:
+        y = head_in @ params["lm_head_q"].astype(head_in.dtype)
+        return y.astype(jnp.float32) * params["lm_head_s"]
+    return (head_in @ params["lm_head"]).astype(jnp.float32)
+
+
 def llama_apply(
     params,
     cfg: DecoderConfig,
@@ -481,7 +491,7 @@ def llama_apply(
 
     x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
     head_in = x[:, -1:] if last_logit_only else x
-    logits = (head_in @ params["lm_head"]).astype(jnp.float32)
+    logits = lm_head_logits(params, head_in)
 
     new_cache = None
     if quant_cache:

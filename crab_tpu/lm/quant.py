@@ -96,16 +96,28 @@ def init_llama_int8(key, cfg, dtype=jnp.bfloat16, bits: int = 8) -> Dict:
         "embed": normal_init(ks[0], (cfg.vocab_size, D), 0.02, dtype),
         "layers": layers,
         "final_norm": rms_norm_init(D, dtype),
-        "lm_head": normal_init(ks[8], (D, cfg.vocab_size), 0.02, dtype),
+        # int8 output head: per-vocab-channel scale (matches
+        # quantize_decoder_host(lm_head=True))
+        "lm_head_q": jax.random.randint(
+            ks[8], (D, cfg.vocab_size), -qm, qm + 1, dtype=jnp.int8
+        ),
+        "lm_head_s": jnp.full((1, cfg.vocab_size), 0.02 / qm, jnp.float32),
     }
 
 
-def quantize_decoder_host(decoder_params: Dict, keys=QUANT_KEYS, bits: int = 8) -> Dict:
+def quantize_decoder_host(
+    decoder_params: Dict, keys=QUANT_KEYS, bits: int = 8,
+    lm_head: bool = True,
+) -> Dict:
     """Host (numpy) per-projection quantization for real checkpoints.
 
     Runs one stacked weight at a time on the CPU, so the device never
     holds the bf16 and quantized copies simultaneously (quantizing a
     fully materialized 7B on-device needs ~2x transient HBM).
+
+    ``lm_head`` also quantizes the output head (per-vocab-channel int8):
+    saves 131 MB + one 262 MB bf16 read per decode step — the margin
+    that lets batch 16 x 500-token fit on one chip.
     """
     import numpy as np
 
@@ -122,6 +134,14 @@ def quantize_decoder_host(decoder_params: Dict, keys=QUANT_KEYS, bits: int = 8) 
         p["w_s"] = jnp.asarray(scale)
         layers[k] = p
     out["layers"] = layers
+    if lm_head and "lm_head" in out:
+        w = np.asarray(jax.device_get(out.pop("lm_head")), np.float32)
+        amax = np.abs(w).max(axis=0, keepdims=True)
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        out["lm_head_q"] = jnp.asarray(
+            np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        )
+        out["lm_head_s"] = jnp.asarray(scale)  # (1, V)
     return out
 
 

@@ -119,7 +119,13 @@ def _decoder_base_sd(decoder_params: Dict, cfg: CrabConfig) -> Dict:
     layers = decoder_params["layers"]
     sd["model.embed_tokens.weight"] = np.asarray(decoder_params["embed"])
     sd["model.norm.weight"] = np.asarray(decoder_params["final_norm"]["scale"])
-    sd["lm_head.weight"] = np.asarray(decoder_params["lm_head"]).T
+    if "lm_head" in decoder_params:
+        sd["lm_head.weight"] = np.asarray(decoder_params["lm_head"]).T
+    else:  # int8 head (quantize_decoder_host lm_head=True): dequantize
+        sd["lm_head.weight"] = (
+            np.asarray(decoder_params["lm_head_q"], np.float32)
+            * np.asarray(decoder_params["lm_head_s"])
+        ).T
     name_map = {
         "q": "self_attn.q_proj",
         "k": "self_attn.k_proj",

@@ -106,8 +106,10 @@ def crab_param_specs(params: Dict, fsdp: bool = True) -> Dict:
                 # model axis; replicate the table, shard the lm_head on
                 # hidden (row-parallel -> psum on logits)
                 return P()
-            if keys[1] == "lm_head":
+            if keys[1] in ("lm_head", "lm_head_q"):
                 return P("model", None)
+            if keys[1] == "lm_head_s":
+                return P()  # per-vocab scale, replicated
             if keys[1] == "final_norm":
                 return P()
             if keys[1] == "layers":

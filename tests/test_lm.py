@@ -453,3 +453,23 @@ def test_int8_xla_attention_matches_reference():
     ref = reference_attention(q, k_dq, v_dq, length)
     out = decode_attention_int8_xla(q, kq, ks, vq, vs, length=length)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-3)
+
+
+def test_int8_lm_head_tracks_bf16(hf_model, params):
+    """quantize_decoder_host(lm_head=True) logits track the bf16 head
+    closely enough that greedy tokens agree."""
+    from crab_tpu.lm.quant import quantize_decoder_host
+
+    q = quantize_decoder_host(params, keys=(), lm_head=True)
+    assert "lm_head" not in q and q["lm_head_q"].dtype == jnp.int8
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(rng.standard_normal((2, 6, 64)).astype(np.float32) * 0.1)
+    ref_logits, _, _, _ = llama_apply(params, CFG, emb)
+    q_logits, _, _, _ = llama_apply(q, CFG, emb)
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(ref_logits), -1), np.argmax(np.asarray(q_logits), -1)
+    )
+    # int8 per-channel: relative error within a quantization step
+    np.testing.assert_allclose(
+        np.asarray(q_logits), np.asarray(ref_logits), rtol=0.05, atol=0.05
+    )
