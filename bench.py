@@ -201,12 +201,16 @@ def main():
     host_ms = (time.time() - t_host0) * 1000
 
     # resident encode: media already on device; chain N encodes through a
-    # data dependency (the lazy relay skips unfetched independent work)
+    # data dependency (the lazy relay skips unfetched independent work).
+    # EVERY modality must depend on the carry — a loop-invariant video
+    # branch gets hoisted and drops CLIP out of the measurement.
     def encode_chain(n):
         def fn(params, media):
             def body(i, acc):
-                m = dict(media)
-                m["audio"] = media["audio"] + (acc * 0).astype(media["audio"].dtype)
+                m = {
+                    k: v + (acc * 0).astype(v.dtype)
+                    for k, v in media.items()
+                }
                 bank, _ = engine._encode_bank(params, m, False)
                 return acc + bank[0, 0].astype(jnp.float32)
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
@@ -222,22 +226,32 @@ def main():
     e2, e8 = encode_chain(2), encode_chain(8)
     encode_ms_resident = max((e8 - e2) / 6.0, 0.0) * 1000
 
-    # decode slope: same uploaded bank, generate at two budgets; the
-    # difference cancels prefill, encode, and relay round trips
-    bench_task_named("bench-avqa-16", 16)
-    bench_task_named("bench-avqa-80", 80)
+    # decode slope: dispatch the generate program directly on the
+    # RESIDENT bank (no per-run media H2D — tunnel jitter between runs
+    # would otherwise swamp the 64-step difference); prefill and relay
+    # round trips cancel in the difference
+    encode_fn, gen_fn, _ = engine._program_for(
+        tuple(sorted(media_batch)), False, "binary"
+    )
+    bank, _ = encode_fn(engine.params, media_batch)
+    gen_args = (
+        jnp.asarray(sb.text_ids), jnp.asarray(sb.feat_idx),
+        jnp.asarray(sb.attention_mask), jnp.asarray(sb.position_ids),
+    )
 
-    def gen_time(name, reps=2):
-        engine.run(name, samples)  # compile
+    def gen_time(max_new, reps=3):
+        r = gen_fn(engine.params["decoder"], bank, *gen_args, max_new)
+        np.asarray(r.tokens[0, -1])  # compile+first
         best = 1e9
         for _ in range(reps):
             t1 = time.time()
-            engine.run(name, samples)
+            r = gen_fn(engine.params["decoder"], bank, *gen_args, max_new)
+            np.asarray(r.tokens[0, -1])
             best = min(best, time.time() - t1)
         return best
 
-    t16 = gen_time("bench-avqa-16")
-    t80 = gen_time("bench-avqa-80")
+    t16 = gen_time(16)
+    t80 = gen_time(80)
     decode_ms_slope = (t80 - t16) / 64.0 * 1000
     fixed_s = t16 - 16 * decode_ms_slope / 1000  # encode+prefill+host+fetch
     breakdown = {
@@ -248,10 +262,12 @@ def main():
     }
     print(f"# stage breakdown: {breakdown}", file=sys.stderr)
 
-    # decode-length -> clips/s curve from the measured slope (sync path;
-    # the streamed 64-token row above is the pipelined configuration)
+    # decode-length -> clips/s curve: the measured STREAMED batch time
+    # re-projected along the decode slope (dt is the serving-path batch
+    # time at 64 tokens; fixed_s below is the resident device path)
+    stream_fixed_s = dt - 64 * decode_ms_slope / 1000
     curve = {
-        str(n): round(BATCH / (fixed_s + n * decode_ms_slope / 1000), 2)
+        str(n): round(BATCH / (stream_fixed_s + n * decode_ms_slope / 1000), 2)
         for n in (16, 32, 64, 128, 500)
     }
 

@@ -35,11 +35,15 @@ SEED = 7
 
 
 def build_trace(rng, n):
-    """Mixed prompts: word counts chosen so bucketed prompt lengths vary
-    (media tokens fixed at 640 + text), decode budgets 20-100."""
+    """Mixed prompts and budgets, quantized to a small set of shapes:
+    every distinct (prompt bucket, decode budget) pair is a separate 7B
+    compile through this environment's remote-compile relay (minutes
+    each), so the trace mixes two prompt clusters (~short / ~200-word)
+    and three decode budgets {32, 64, 96} — still enough spread that
+    lock-step batching holds short requests hostage."""
     trace = []
     for i in range(n):
-        words = int(rng.integers(4, 260))
+        words = int(rng.choice([6, 200]))
         q = " ".join(
             rng.choice(["what", "sound", "left", "instrument", "is",
                         "playing", "first", "loud", "drum", "piano"])
@@ -59,7 +63,7 @@ def build_trace(rng, n):
                         ).astype(np.float32),
                     },
                 },
-                "max_new": int(rng.integers(20, 101)),
+                "max_new": int(rng.choice([32, 64, 96])),
             }
         )
     return trace
