@@ -112,7 +112,7 @@ def main():
         SampleSpec(full, {"<video>": qv, "<audio>": qa}, labels, "avqa")
         for _ in range(BATCH)
     ]
-    sb = build_splice_batch(specs, special, pad_to=None if tiny else 704)
+    sb = build_splice_batch(specs, special, pad_to=None if tiny else 768)
     size = cfg.vision.image_size
     batch = {
         "media": {
@@ -154,8 +154,11 @@ def main():
     opt = make_optimizer(
         make_lr_schedule(1e-4, 1000), STAGE_TRAINABLE[stage], params
     )
+    # donate the state: without it XLA holds two full param copies
+    # (args 7.8 GB + out 7.8 GB, alias 0) and the step OOMs at any batch
     step = jax.jit(
-        make_train_step(cfg, opt, avs=AVS, trainable=mask, dropout_seed=0)
+        make_train_step(cfg, opt, avs=AVS, trainable=mask, dropout_seed=0),
+        donate_argnums=0,
     )
     state = init_train_state(params, opt, trainable=mask)
 

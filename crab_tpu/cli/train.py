@@ -234,8 +234,13 @@ def main(argv=None):
                     if lora is not None and lora.dropout > 0 and not args.no_dropout
                     else None
                 )
+                # donate the state: the step returns a full new
+                # TrainState and without donation XLA holds TWO copies
+                # of the 7B params (measured: args 7.8 GB + out 7.8 GB,
+                # alias 0 -> RESOURCE_EXHAUSTED on a 16 GB chip)
                 steps[key] = jax.jit(
-                    make_train_step(
+                    donate_argnums=0,
+                    fun=make_train_step(
                         cfg,
                         optimizer,
                         avs=is_avs,
