@@ -187,9 +187,22 @@ def main():
     print(f"# batch: {results[-1]}", file=sys.stderr)
 
     # ---- (b) continuous engine ----
+    cb = None
     for pf_chunk in (0, 256):
+        if cb is not None:
+            # free the previous engine's 4.3 GB slot state NOW — the
+            # timed_finish closure cycle defers GC past the next alloc
+            for leaf in jax.tree_util.tree_leaves(cb.state):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+            cb = None
+        # slot cache is bf16: 8 slots x 1024 = 4.3 GB next to 6.5 GB int8
+        # weights + 1 GB encoders; 1792 would be 7.5 GB and OOM. The
+        # trace tops out at ~896 prompt + 96 decode.
         cb = ContinuousEngine(
-            engine, slots=SLOTS, max_len=1792, chunk=16,
+            engine, slots=SLOTS, max_len=1024, chunk=16,
             prefill_chunk=pf_chunk,
         )
         finish = {}

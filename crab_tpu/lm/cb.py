@@ -80,8 +80,8 @@ def cb_prefill(
     deposits the slices into slot rows [0, T_pad) and the bitmap gets the
     attention mask (left pads stay masked forever — bucketing waste, not
     correctness)."""
-    T = inputs_embeds.shape[1]
-    cache = KVCache.zeros(cfg, 1, T, inputs_embeds.dtype)
+    B, T = inputs_embeds.shape[:2]
+    cache = KVCache.zeros(cfg, B, T, inputs_embeds.dtype)
     logits, _, cache, _ = llama_apply(
         params,
         cfg,

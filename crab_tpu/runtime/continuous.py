@@ -86,9 +86,19 @@ class ContinuousEngine:
                 engine.eos_id, engine.pad_id, capture_hidden=capture,
             )
 
-        self._chunk_fn = jax.jit(_chunk, static_argnames="capture")
-        self._deposit = jax.jit(deposit, static_argnames="slot")
-        self._retire = jax.jit(retire, static_argnames="slot")
+        # donate the slot state everywhere it flows through a program:
+        # each call returns a full new SlotState, and without aliasing
+        # XLA holds TWO copies of the (L, N, S, Hkv, hd) caches — at 7B
+        # with 8x1024 slots that is 2 x 4.3 GB next to 6.5 GB of weights
+        # (measured RESOURCE_EXHAUSTED). State flow is linear by
+        # construction (self.state is reassigned at every call site).
+        self._chunk_fn = jax.jit(
+            _chunk, static_argnames="capture", donate_argnums=1
+        )
+        self._deposit = jax.jit(
+            deposit, static_argnames="slot", donate_argnums=0
+        )
+        self._retire = jax.jit(retire, static_argnames="slot", donate_argnums=0)
 
     # -- prefill: encode + splice + prompt forward, one program per bucket
     def _prefill_for(self, media_keys, t_pad, avs):
@@ -150,22 +160,79 @@ class ContinuousEngine:
             self._seg_programs[head] = self.engine._make_seg(head)
         return self._seg_programs[head]
 
-    def _admit(self, req: _Request, slot: int, interleave=None):
+    def _build(self, req: _Request):
+        """Host-side build + validation for one admission (isolatable)."""
         engine = self.engine
         task = TASKS[req.task]
         spec, media = engine.build_sample(task, req.sample)
-        sb = build_splice_batch(
-            [spec],
-            engine.special,
-            pad_to=engine._pad_len([spec], task),
-            pad_id=engine.pad_id,
-        )
-        t_pad = sb.text_ids.shape[1]
+        t_pad = engine._pad_len([spec], task)
         if t_pad + req.max_new > self.max_len:
             raise ValueError(
                 f"prompt {t_pad} + max_new {req.max_new} exceeds slot length "
                 f"{self.max_len}"
             )
+        sig = (
+            t_pad,
+            req.is_avs,
+            tuple(sorted((k, v.shape, str(v.dtype)) for k, v in media.items())),
+        )
+        return spec, media, t_pad, sig
+
+    def _admit_group(self, items):
+        """Batched admission: ONE prefill program admits several
+        same-shape requests and deposits each row into its slot.
+
+        Serial B=1 prefills were the continuous engine's handicap vs the
+        batch engine (measured: 8 serial prefills cost ~2.5x one batched
+        8-row prefill — the MXU parallelizes prompt rows nearly for
+        free). Batched rows are numerically independent (left-padding +
+        per-row masks), so tokens are identical to one-at-a-time
+        admission — the same invariance the batch engine's
+        composition tests pin down."""
+        engine = self.engine
+        reqs = [it[0] for it in items]
+        specs = [it[2] for it in items]
+        medias = [it[3] for it in items]
+        t_pad = items[0][4]
+        avs = reqs[0].is_avs
+        sb = build_splice_batch(
+            specs, engine.special, pad_to=t_pad, pad_id=engine.pad_id
+        )
+        media_batch = engine._media_batch(medias)
+        fn = self._prefill_for(tuple(sorted(media_batch)), t_pad, avs)
+        k, v, first, next_pos, seg_taps = fn(
+            engine.params,
+            media_batch,
+            jnp.asarray(sb.text_ids),
+            jnp.asarray(sb.feat_idx),
+            jnp.asarray(sb.attention_mask),
+            jnp.asarray(sb.position_ids),
+        )
+        amask = jnp.asarray(sb.attention_mask)
+        for i, it in enumerate(items):
+            req, slot = it[0], it[1]
+            if avs and seg_taps is not None:
+                req.seg_taps = jax.tree_util.tree_map(
+                    lambda x, i=i: x[i: i + 1], seg_taps
+                )
+            req.slot = slot
+            self.state = self._deposit(
+                self.state, slot, k[:, i: i + 1], v[:, i: i + 1],
+                amask[i: i + 1], first[i: i + 1], next_pos[i: i + 1],
+            )
+        firsts = np.asarray(first)  # one sync for the whole group
+        for req, ft in zip(reqs, firsts):
+            req.tokens.append(int(ft))
+            if int(ft) == engine.eos_id or req.max_new <= 1:
+                self._finish(req)
+
+    def _admit(self, req: _Request, slot: int, interleave=None, built=None):
+        engine = self.engine
+        spec, media, t_pad_b, _ = built if built is not None else self._build(req)
+        sb = build_splice_batch(
+            [spec], engine.special, pad_to=t_pad_b, pad_id=engine.pad_id
+        )
+        t_pad = sb.text_ids.shape[1]
         media_batch = engine._media_batch([media])
         chunked = (
             self.prefill_chunk
@@ -325,32 +392,58 @@ class ContinuousEngine:
                     self._finish(req)
                     del by_slot[s]
 
+        def fail(req, e):
+            req.done = True
+            req.tokens = []
+            req.error = f"{type(e).__name__}: {e}"
+            if req.slot is not None:
+                # deposit may have landed before the failure; free the
+                # device slot so it doesn't decode garbage
+                self.state = self._retire(self.state, req.slot)
+                req.slot = None
+
         while queue or by_slot:
-            # admit as many as fit; a malformed request (oversized prompt,
-            # bad media) fails alone, not the stream. With prefill_chunk
-            # set, admission yields to decode_round between prompt pieces
-            # so active slots keep emitting during long prefills.
+            # admit as many as fit. Same-shape runs of the queue admit in
+            # ONE batched prefill program (_admit_group); a malformed
+            # request (oversized prompt, bad media) fails alone at build
+            # time, not the stream. With prefill_chunk set, single
+            # admissions yield to decode_round between prompt pieces so
+            # active slots keep emitting during long prefills.
+            admits = []
             for s in free_slots():
                 if not queue:
                     break
                 req = queue.pop(0)
                 try:
-                    self._admit(
-                        req, s,
-                        interleave=decode_round if by_slot else None,
-                    )
+                    built = self._build(req)
                 except Exception as e:  # noqa: BLE001 — per-request isolation
-                    req.done = True
-                    req.tokens = []
-                    req.error = f"{type(e).__name__}: {e}"
-                    if req.slot is not None:
-                        # deposit may have landed before the failure; free
-                        # the device slot so it doesn't decode garbage
-                        self.state = self._retire(self.state, req.slot)
-                        req.slot = None
+                    fail(req, e)
                     continue
-                if not req.done:
-                    by_slot[s] = req
+                admits.append((req, s, *built))
+            i = 0
+            while i < len(admits):
+                j = i + 1
+                while j < len(admits) and admits[j][5] == admits[i][5]:
+                    j += 1  # same shape signature -> one prefill program
+                group = admits[i:j]
+                try:
+                    if len(group) == 1:
+                        req, s, *built = group[0]
+                        self._admit(
+                            req, s,
+                            interleave=decode_round if by_slot else None,
+                            built=tuple(built),
+                        )
+                    else:
+                        self._admit_group(group)
+                except Exception as e:  # noqa: BLE001
+                    for req, *_ in group:
+                        fail(req, e)
+                else:
+                    for req, s, *_ in group:
+                        if not req.done:
+                            by_slot[s] = req
+                i = j
             decode_round()
         results: List[Dict] = []
         for r in reqs:

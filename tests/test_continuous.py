@@ -238,3 +238,34 @@ def test_chunked_prefill_admission_token_parity(engine, monkeypatch):
     got = cb.run([{"task": "tiny-cb5", "sample": s} for s in samples])
     assert got == expected
     assert not bool(np.asarray(cb.state.active).any())
+
+
+def test_batched_admission_token_parity(engine, monkeypatch):
+    """Same-shape queued requests admit through ONE batched prefill
+    program (_admit_group); tokens must equal one-at-a-time admission
+    (row independence under left-padding + per-row masks)."""
+    from crab_tpu.tasks import registry
+
+    task = _task("tiny-cb6", max_new=6)
+    monkeypatch.setitem(registry.TASKS, "tiny-cb6", task)
+    rng = np.random.default_rng(33)
+    samples = [
+        {"question": f"which thing sounds number {i}", "_media": _media(rng)}
+        for i in range(4)
+    ]
+    expected = [engine.run("tiny-cb6", [s]).texts[0] for s in samples]
+
+    cb = ContinuousEngine(engine, slots=4, max_len=128, chunk=3)
+    calls = {"group": 0}
+    orig_group = cb._admit_group
+
+    def counting_group(items):
+        calls["group"] += 1
+        assert len(items) == 4  # all four share a shape signature
+        return orig_group(items)
+
+    monkeypatch.setattr(cb, "_admit_group", counting_group)
+    got = cb.run([{"task": "tiny-cb6", "sample": s} for s in samples])
+    assert calls["group"] == 1
+    assert got == expected
+    assert not bool(np.asarray(cb.state.active).any())
