@@ -60,18 +60,25 @@ class ContinuousEngine:
         max_len: int = 1024,
         chunk: int = 16,
         prefill_chunk: int = 0,
+        admit_batch: int = 4,
     ):
         """``prefill_chunk``: admit prompts in pieces of this many tokens,
         running a decode chunk for the active slots between pieces —
         bounds the decode stall per admission to one piece's prefill
         (~0.15 s at 7B/256 tokens) instead of the whole prompt (~0.4 s).
-        0 = whole-prompt admission (single prefill program)."""
+        0 = whole-prompt admission (single prefill program).
+
+        ``admit_batch``: max requests per batched admission prefill —
+        bounds the group prefill's transient HBM next to the live slot
+        caches (a full-slot-count group at 7B OOMs beside an 8x1024
+        cache; 4 is safe with headroom)."""
         self.engine = engine
         self.cfg = engine.cfg
         self.slots = slots
         self.max_len = max_len
         self.chunk = chunk
         self.prefill_chunk = prefill_chunk
+        self.admit_batch = max(admit_batch, 1)
         self._dtype = engine._dtype
         self.state = SlotState.zeros(
             self.cfg.decoder, slots, max_len, self._dtype
@@ -420,10 +427,18 @@ class ContinuousEngine:
                     fail(req, e)
                     continue
                 admits.append((req, s, *built))
+            # stable-sort the admitted window by shape signature so
+            # same-shape requests group even when arrivals interleave
+            # (slot assignment is positional, results stay per-request)
+            admits.sort(key=lambda it: repr(it[5]))
             i = 0
             while i < len(admits):
                 j = i + 1
-                while j < len(admits) and admits[j][5] == admits[i][5]:
+                while (
+                    j < len(admits)
+                    and admits[j][5] == admits[i][5]
+                    and j - i < self.admit_batch
+                ):
                     j += 1  # same shape signature -> one prefill program
                 group = admits[i:j]
                 try:
