@@ -239,8 +239,7 @@ def main(argv=None):
                 # of the 7B params (measured: args 7.8 GB + out 7.8 GB,
                 # alias 0 -> RESOURCE_EXHAUSTED on a 16 GB chip)
                 steps[key] = jax.jit(
-                    donate_argnums=0,
-                    fun=make_train_step(
+                    make_train_step(
                         cfg,
                         optimizer,
                         avs=is_avs,
@@ -250,7 +249,8 @@ def main(argv=None):
                         bce_weight=args.bce_weight,
                         dice_weight=args.dice_weight,
                         dropout_seed=dropout_seed,
-                    )
+                    ),
+                    donate_argnums=0,
                 )
             batch = _fit_batch_media(batch, cfg)
             batch = jax.tree_util.tree_map(jnp.asarray, batch)
