@@ -188,7 +188,7 @@ def main():
 
     # ---- (b) continuous engine ----
     cb = None
-    for pf_chunk in (0, 256):
+    for pf_chunk, spec_k in ((0, 0), (256, 0), (256, 4)):
         if cb is not None:
             # free the previous engine's 4.3 GB slot state NOW — the
             # timed_finish closure cycle defers GC past the next alloc
@@ -203,7 +203,7 @@ def main():
         # trace tops out at ~896 prompt + 96 decode.
         cb = ContinuousEngine(
             engine, slots=SLOTS, max_len=1024, chunk=16,
-            prefill_chunk=pf_chunk,
+            prefill_chunk=pf_chunk, spec_k=spec_k,
         )
         finish = {}
         orig = cb._finish

@@ -52,6 +52,11 @@ def main(argv=None):
                    help="dump per-sample MoE-LoRA router weights as "
                         "reference-layout .npy under <out>/routes/ "
                         "(inference_hyper_lora.py:164-205)")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="sampling temperature; 0 = greedy (reference default)")
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0, help="sampling seed")
     args = p.parse_args(argv)
 
     from crab_tpu.runtime.engine import InferenceEngine
@@ -74,6 +79,8 @@ def main(argv=None):
     engine = InferenceEngine(
         cfg, params, build_tokenizer(args, special), special,
         chat_style=chat_style, eos_id=eos_id,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        sample_seed=args.seed,
     )
 
     with open(args.annotations) as f:

@@ -147,6 +147,11 @@ def main(argv=None):
                         "<mask_i> tokens (the reference skips them; useful "
                         "for random-weight smoke runs)")
     p.add_argument("--max-new-tokens", type=int, default=0, help="override")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="sampling temperature; 0 = greedy (reference default)")
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0, help="sampling seed")
     args = p.parse_args(argv)
 
     from crab_tpu.runtime.engine import InferenceEngine
@@ -163,7 +168,9 @@ def main(argv=None):
     params = build_params(args, cfg)
     tokenizer = build_tokenizer(args, special)
     engine = InferenceEngine(
-        cfg, params, tokenizer, special, chat_style=chat_style, eos_id=eos_id
+        cfg, params, tokenizer, special, chat_style=chat_style, eos_id=eos_id,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        sample_seed=args.seed,
     )
 
     with open(args.examples) as f:

@@ -43,6 +43,10 @@ def main(argv=None):
                    help="admit prompts in pieces of N tokens, decoding "
                         "active slots between pieces (bounds the "
                         "admission stall); 0 = whole-prompt prefill")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="self-speculative decoding: verify N history-"
+                        "drafted tokens per forward (greedy only, "
+                        "token-identical; lm/spec.py)")
     p.add_argument("--max-len", type=int, default=1280)
     p.add_argument("--llm", choices=["llama", "qwen"], default="llama")
     p.add_argument("--llama", default="")
@@ -56,6 +60,11 @@ def main(argv=None):
     p.add_argument("--kv-quant", action="store_true")
     p.add_argument("--a8-prefill", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="sampling temperature; 0 = greedy (default)")
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0, help="sampling seed")
     args = p.parse_args(argv)
 
     from crab_tpu.cli.quick_start import (
@@ -81,6 +90,8 @@ def main(argv=None):
     engine = InferenceEngine(
         cfg, params, build_tokenizer(args, special), special,
         chat_style=chat_style, eos_id=eos_id,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        sample_seed=args.seed,
     )
 
     src = sys.stdin if args.requests == "-" else open(args.requests)
@@ -95,7 +106,7 @@ def main(argv=None):
 
         cb = ContinuousEngine(
             engine, slots=args.slots, max_len=args.max_len, chunk=args.chunk,
-            prefill_chunk=args.prefill_chunk,
+            prefill_chunk=args.prefill_chunk, spec_k=args.spec_k,
         )
         results = cb.run_requests(requests)
     else:

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from crab_tpu.core.config import DecoderConfig
 from crab_tpu.core.layers import rms_norm
+from crab_tpu.lm.generate import sample_logits
 from crab_tpu.lm.llama import (
     KVCache,
     NEG_INF,
@@ -52,6 +53,10 @@ class SlotState(NamedTuple):
     pos: jnp.ndarray  # (N,) int32 — rope position of the next token
     tok: jnp.ndarray  # (N,) int32 — last emitted token (next input)
     active: jnp.ndarray  # (N,) bool
+    hist: jnp.ndarray  # (N, S_max) int32 — token id at each cache row
+    #   (-1 at feature-splice/pad rows); prompt ids come from deposit,
+    #   decode steps append their input token. Feeds the n-gram draft
+    #   lookup in lm/spec.py — text history IS the draft model.
 
     @classmethod
     def zeros(cls, cfg: DecoderConfig, slots: int, max_len: int, dtype):
@@ -64,6 +69,7 @@ class SlotState(NamedTuple):
             jnp.zeros((slots,), jnp.int32),
             jnp.zeros((slots,), jnp.int32),
             jnp.zeros((slots,), bool),
+            jnp.full((slots, max_len), -1, jnp.int32),
         )
 
 
@@ -73,6 +79,10 @@ def cb_prefill(
     inputs_embeds: jnp.ndarray,  # (1, T_pad, D) left-padded prompt
     attention_mask: jnp.ndarray,  # (1, T_pad)
     position_ids: jnp.ndarray,  # (1, T_pad)
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    rng: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One request's prefill -> (k (L,1,T,Hkv,hd), v, first_tok (1,), next_pos (1,)).
 
@@ -91,14 +101,25 @@ def cb_prefill(
         cache=cache,
         last_logit_only=True,
     )
-    first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)  # (1,)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    first = sample_logits(logits[:, -1], rng, temperature, top_k, top_p)  # (1,)
     next_pos = position_ids[:, -1] + 1
     return cache.k, cache.v, first, next_pos
 
 
-def deposit(state: SlotState, slot: int, k, v, mask_row, first_tok, next_pos):
-    """Write a prefilled request into slot `slot` (host-driven, jittable)."""
+def deposit(
+    state: SlotState, slot: int, k, v, mask_row, first_tok, next_pos,
+    hist_row=None,
+):
+    """Write a prefilled request into slot `slot` (host-driven, jittable).
+
+    ``hist_row`` (1, T) int32: prompt token ids with -1 at feature-splice
+    and pad rows (None -> all -1: the slot still decodes correctly, the
+    spec-decode draft lookup just can't match into the prompt)."""
     T = k.shape[2]
+    if hist_row is None:
+        hist_row = jnp.full((1, T), -1, jnp.int32)
     return SlotState(
         k=jax.lax.dynamic_update_slice(state.k, k, (0, slot, 0, 0, 0)),
         v=jax.lax.dynamic_update_slice(state.v, v, (0, slot, 0, 0, 0)),
@@ -114,6 +135,15 @@ def deposit(state: SlotState, slot: int, k, v, mask_row, first_tok, next_pos):
         pos=state.pos.at[slot].set(next_pos[0]),
         tok=state.tok.at[slot].set(first_tok[0]),
         active=state.active.at[slot].set(True),
+        hist=jax.lax.dynamic_update_slice(
+            state.hist,
+            jnp.pad(
+                hist_row.astype(jnp.int32),
+                ((0, 0), (0, state.hist.shape[1] - T)),
+                constant_values=-1,
+            ),
+            (slot, 0),
+        ),
     )
 
 
@@ -123,12 +153,15 @@ def retire(state: SlotState, slot: int) -> SlotState:
         bitmap=state.bitmap.at[slot].set(0),
         widx=state.widx.at[slot].set(0),
         active=state.active.at[slot].set(False),
+        hist=state.hist.at[slot].set(-1),
     )
 
 
 def cb_decode_chunk(
     params, cfg: DecoderConfig, state: SlotState, chunk: int, eos_id: int,
     pad_id: int = 0, capture_hidden: bool = False,
+    temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
+    rng: jnp.ndarray | None = None,
 ):
     """Advance every active slot up to `chunk` tokens in one program.
 
@@ -148,14 +181,14 @@ def cb_decode_chunk(
     dtype = state.k.dtype
 
     def step(carry):
-        st, out, hid_buf, emitted, i = carry
+        st, out, hid_buf, emitted, i, key = carry
+        key, sub = jax.random.split(key)
         # the incoming token occupies cache row widx for active slots
-        bitmap = jnp.where(
-            st.active[:, None]
-            & (jnp.arange(S)[None, :] == st.widx[:, None]),
-            1,
-            st.bitmap,
+        at_widx = st.active[:, None] & (
+            jnp.arange(S)[None, :] == st.widx[:, None]
         )
+        bitmap = jnp.where(at_widx, 1, st.bitmap)
+        hist = jnp.where(at_widx, st.tok[:, None], st.hist)
         emb = jnp.take(params["embed"], st.tok, axis=0)[:, None, :].astype(dtype)
         cos, sin = _rope(st.pos[:, None], cfg.head_dim, cfg.rope_theta, dtype)
         mask = jnp.where(bitmap[:, None, None, :] > 0, 0.0, NEG_INF).astype(
@@ -222,7 +255,9 @@ def cb_decode_chunk(
                 hid_buf, x[:, -1][:, None, :], (0, i, 0)
             )
         logits = lm_head_logits(params, x[:, -1])
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # slots share the step key; categorical over the (N, V) batch still
+        # draws independently per row
+        nxt = sample_logits(logits, sub, temperature, top_k, top_p)
         emit = jnp.where(st.active, nxt, pad_id)
         out = jax.lax.dynamic_update_slice(out, emit[:, None], (0, i))
         emitted = emitted + st.active.astype(jnp.int32)
@@ -235,13 +270,16 @@ def cb_decode_chunk(
             pos=jnp.where(st.active, st.pos + 1, st.pos),
             tok=jnp.where(st.active, nxt, st.tok),
             active=new_active,
+            hist=hist,
         )
-        return st, out, hid_buf, emitted, i + 1
+        return st, out, hid_buf, emitted, i + 1, key
 
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     D = params["embed"].shape[1]
     out0 = jnp.full((N, chunk), pad_id, jnp.int32)
     hid0 = jnp.zeros((N, chunk, D) if capture_hidden else (N, 0, 0), dtype)
-    st, out, hid, emitted, _ = jax.lax.while_loop(
+    st, out, hid, emitted, _, _ = jax.lax.while_loop(
         lambda c: (c[4] < chunk) & jnp.any(c[0].active),
         step,
         (
@@ -250,6 +288,7 @@ def cb_decode_chunk(
             hid0,
             jnp.zeros((N,), jnp.int32),
             jnp.zeros((), jnp.int32),
+            rng,
         ),
     )
     if capture_hidden:

@@ -44,6 +44,40 @@ class _State(NamedTuple):
     key: jnp.ndarray  # PRNG key (sampling)
 
 
+def sample_logits(
+    logits: jnp.ndarray,
+    key: jnp.ndarray,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jnp.ndarray:
+    """One sampling step over (..., V) logits.
+
+    temperature <= 0 -> greedy (the reference's HF ``generate`` default,
+    ``models/unified_llama.py:244-361``); otherwise temperature sampling,
+    optionally truncated by top-k and/or nucleus top-p (the knobs HF users
+    can flip on the reference's ``GenerationConfig``). All branches are
+    trace-time constants — the compiled program has no dead paths.
+    """
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -1e9, scaled)
+    if top_p < 1.0:
+        srt = jnp.sort(scaled, axis=-1)[..., ::-1]  # descending
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose *exclusive* cumulative mass is < top_p, so the
+        # token that crosses the boundary stays (HF semantics: smallest set
+        # with mass >= top_p); the argmax token always survives.
+        keep = (cum - probs) < top_p
+        thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True)
+        scaled = jnp.where(scaled < thresh, -1e9, scaled)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+
 def generate(
     params,
     cfg: DecoderConfig,
@@ -55,22 +89,17 @@ def generate(
     pad_id: int = 0,
     temperature: float = 0.0,
     top_k: int = 0,
+    top_p: float = 1.0,
     rng: Optional[jnp.ndarray] = None,
 ) -> GenerateResult:
     """temperature <= 0 -> greedy (the reference's default); otherwise
-    temperature sampling, optionally top-k-truncated."""
+    temperature sampling, optionally top-k / nucleus-top-p truncated."""
     B, T, D = inputs_embeds.shape
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     def select(logits, key):
-        if temperature <= 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        scaled = logits.astype(jnp.float32) / temperature
-        if top_k > 0:
-            kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
-            scaled = jnp.where(scaled < kth, -1e9, scaled)
-        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+        return sample_logits(logits, key, temperature, top_k, top_p)
     S = T + max_new_tokens
     dtype = inputs_embeds.dtype
 

@@ -1,0 +1,239 @@
+"""Self-speculative (prompt-lookup) decoding over the slot abstraction.
+
+The decoder at serving batch sizes is weight-bound: one decode step reads
+~6.7 GB of int8 weights to produce ONE token per sequence (tools/README.md).
+A forward over T=k+1 tokens reads the same weights, so if k drafted tokens
+can be verified in that one forward, accepted tokens are nearly free MXU
+work. This module drafts WITHOUT an auxiliary model: the draft source is
+the sequence's own token history (prompt + generated so far) — "prompt
+lookup" / n-gram speculation, the assisted-generation mode HF and vLLM
+ship for exactly this weight-bound regime. Templated Crab answers
+("<answer>...</answer>", repeated event labels, AVS mask-token runs) are
+rich in repeated n-grams, which is where this pays.
+
+Greedy-only and LOSSLESS: every emitted token is an argmax of the real
+model's logits given the true prefix — acceptance only decides how many
+of them one program produces. Token streams are bit-identical to
+``cb_decode_chunk`` (pinned by tests/test_spec.py).
+
+Algorithm per loop step, all slots at once, static shapes throughout:
+  1. draft: find the most recent earlier occurrence of the bigram
+     (hist[widx-1], tok) in the slot's history; take the k tokens that
+     followed it (unknown/absent -> -1, which can never match an argmax).
+  2. verify: ONE forward over the (N, k+1) window [tok, draft...] with
+     rope positions pos..pos+k, attending to the cache plus the causal
+     in-window rows; KV rows are scattered per slot at widx+i.
+  3. accept: m = leading draft/argmax matches; emit m+1 tokens, truncated
+     at EOS and at the chunk budget; unmask/record exactly the accepted
+     rows (rejected rows stay masked and are overwritten next step).
+
+No reference counterpart (the reference decodes strictly one token per
+forward via HF generate, ``inference_hyper_lora.py:1477``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from crab_tpu.core.config import DecoderConfig
+from crab_tpu.core.layers import rms_norm
+from crab_tpu.lm.cb import SlotState
+from crab_tpu.lm.llama import (
+    NEG_INF,
+    _apply_rope,
+    _attention,
+    _proj,
+    _rope,
+    lm_head_logits,
+)
+
+
+def draft_lookup(hist: jnp.ndarray, widx: jnp.ndarray, tok: jnp.ndarray,
+                 k: int) -> jnp.ndarray:
+    """N-gram draft: (N, k) continuation tokens after the most recent
+    earlier occurrence of the bigram (hist[widx-1], tok); -1 where no
+    match or the continuation runs past known history."""
+    N, S = hist.shape
+    ar = jnp.arange(S)[None, :]
+    prev = jnp.take_along_axis(
+        hist, jnp.maximum(widx - 1, 0)[:, None], axis=1
+    )[:, 0]
+    h_next = jnp.concatenate(
+        [hist[:, 1:], jnp.full((N, 1), -1, jnp.int32)], axis=1
+    )
+    hit = (
+        (hist == prev[:, None])
+        & (h_next == tok[:, None])
+        & (prev[:, None] >= 0)
+        & (tok[:, None] >= 0)
+        # at least one known continuation row: hist[j+2] written means
+        # j+2 <= widx-1 (row widx-1 is the last token recorded so far)
+        & (ar + 2 <= widx[:, None] - 1)
+    )
+    # most recent match: hit positions hold their own index, so the max
+    # value IS the chosen j
+    jstar = jnp.max(jnp.where(hit, ar, -1), axis=1)  # (N,), -1 if none
+    has = jstar >= 0
+    gidx = jnp.minimum(jnp.maximum(jstar, 0)[:, None] + 2 + jnp.arange(k), S - 1)
+    draft = jnp.take_along_axis(hist, gidx, axis=1)
+    return jnp.where(has[:, None], draft, -1)
+
+
+def spec_decode_chunk(
+    params, cfg: DecoderConfig, state: SlotState, chunk: int, eos_id: int,
+    pad_id: int = 0, spec_k: int = 4, capture_hidden: bool = False,
+):
+    """Advance every active slot up to `chunk` tokens, k+1 positions per
+    forward. Greedy only (speculation over sampled distributions needs
+    rejection sampling; the engine enforces temperature == 0).
+
+    Returns (state, tokens (N, chunk), emitted (N,), accepted (N,)
+    [, hidden (N, chunk, D)]): same contract as ``cb_decode_chunk`` plus
+    `accepted` = drafted tokens accepted this chunk (telemetry — emitted
+    already counts them). Slots need spec_k rows of cache slack: the last
+    verify window may scatter K/V up to row widx+spec_k (the admission
+    check in runtime/continuous.py accounts for it)."""
+    N, S = state.bitmap.shape
+    dtype = state.k.dtype
+    T = spec_k + 1
+    ar_t = jnp.arange(T)
+    rows = jnp.arange(N)
+
+    def step(carry):
+        st, out, hid_buf, emitted, accepted = carry
+        draft = draft_lookup(st.hist, st.widx, st.tok, spec_k)  # (N, k)
+        toks_in = jnp.concatenate([st.tok[:, None], draft], axis=1)  # (N, T)
+        pos = st.pos[:, None] + ar_t[None, :]
+        cos, sin = _rope(pos, cfg.head_dim, cfg.rope_theta, dtype)
+        ar_s = jnp.arange(S)
+        # query j attends the established cache plus in-window rows
+        # widx..widx+j (causal inside the verify window); left-pad rows
+        # stay masked via the bitmap
+        win = (ar_s[None, None, :] >= st.widx[:, None, None]) & (
+            ar_s[None, None, :] <= st.widx[:, None, None] + ar_t[None, :, None]
+        )
+        attend = (st.bitmap[:, None, :] > 0) | win  # (N, T, S)
+        mask = jnp.where(attend[:, None], 0.0, NEG_INF).astype(jnp.float32)
+        emb = jnp.take(
+            params["embed"], jnp.maximum(toks_in, 0), axis=0
+        ).astype(dtype)
+        scat = st.widx[:, None] + ar_t[None, :]  # (N, T) KV scatter rows
+        scat = jnp.minimum(scat, S - 1)  # full slots are inactive; clamp
+
+        def layer_fn(carry_l, inputs):
+            x, kc, vc = carry_l
+            layer_params, layer_idx = inputs
+            packed = "qkv" in layer_params
+            h = rms_norm(layer_params["attn_norm"], x, cfg.rms_norm_eps)
+            qd = cfg.num_heads * cfg.head_dim
+            kvd = cfg.num_kv_heads * cfg.head_dim
+            if packed:
+                from crab_tpu.lm.pack import packed_proj
+
+                qkv, _ = packed_proj(layer_params["qkv"], h, cfg.lora, 3)
+                q, k, v = (
+                    qkv[..., :qd],
+                    qkv[..., qd: qd + kvd],
+                    qkv[..., qd + kvd:],
+                )
+            else:
+                q = _proj(layer_params["q"], h, cfg.lora)
+                k = _proj(layer_params["k"], h, cfg.lora)
+                v = _proj(layer_params["v"], h, cfg.lora)
+            q = q.reshape(N, T, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(N, T, cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(N, T, cfg.num_kv_heads, cfg.head_dim)
+            q, k = _apply_rope(q, k, cos, sin)
+            kc = kc.at[layer_idx, rows[:, None], scat].set(k.astype(dtype))
+            vc = vc.at[layer_idx, rows[:, None], scat].set(v.astype(dtype))
+            k_full = jax.lax.dynamic_index_in_dim(kc, layer_idx, 0, False)
+            v_full = jax.lax.dynamic_index_in_dim(vc, layer_idx, 0, False)
+            attn = _attention(
+                q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads
+            )
+            o = _proj(layer_params["o"], attn, cfg.lora)
+            x = x + o
+            h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
+            if packed:
+                gu, _ = packed_proj(layer_params["gu"], h, cfg.lora, 2)
+                I = cfg.intermediate_size
+                gate, up = gu[..., :I], gu[..., I:]
+            else:
+                gate = _proj(layer_params["gate"], h, cfg.lora)
+                up = _proj(layer_params["up"], h, cfg.lora)
+            x = x + _proj(
+                layer_params["down"], jax.nn.silu(gate) * up, cfg.lora
+            )
+            return (x, kc, vc), None
+
+        (x, kc, vc), _ = jax.lax.scan(
+            layer_fn,
+            (emb, st.k, st.v),
+            (params["layers"], jnp.arange(cfg.num_layers)),
+        )
+        x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)  # (N, T, D)
+        logits = lm_head_logits(params, x)  # (N, T, V) fp32
+        outt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (N, T)
+
+        # acceptance: leading positions where the draft equals the argmax
+        match = (outt[:, :-1] == draft) & (draft >= 0)  # (N, k)
+        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        c = m + 1
+        # EOS inside the accepted prefix ends the emission there
+        in_c = ar_t[None, :] < c[:, None]
+        is_eos = (outt == eos_id) & in_c
+        first_eos = jnp.argmax(is_eos, axis=1)
+        c = jnp.where(jnp.any(is_eos, axis=1), first_eos + 1, c)
+        # chunk budget and inactivity
+        c = jnp.minimum(c, chunk - emitted)
+        c = jnp.where(st.active, c, 0)
+        valid = ar_t[None, :] < c[:, None]  # (N, T)
+        ended = jnp.any((outt == eos_id) & valid, axis=1)
+
+        tgt = jnp.where(valid, emitted[:, None] + ar_t[None, :], chunk)
+        out = out.at[rows[:, None], tgt].set(outt, mode="drop")
+        if capture_hidden:
+            hid_buf = hid_buf.at[rows[:, None], tgt].set(x, mode="drop")
+
+        new_bitmap = st.bitmap | (
+            (ar_s[None, :] >= st.widx[:, None])
+            & (ar_s[None, :] < (st.widx + c)[:, None])
+        ).astype(jnp.int32)
+        hist_tgt = jnp.where(valid, scat, S)
+        new_hist = st.hist.at[rows[:, None], hist_tgt].set(
+            toks_in, mode="drop"
+        )
+        last = jnp.take_along_axis(
+            outt, jnp.maximum(c - 1, 0)[:, None], axis=1
+        )[:, 0]
+        st = SlotState(
+            k=kc,
+            v=vc,
+            bitmap=new_bitmap,
+            widx=st.widx + c,
+            pos=st.pos + c,
+            tok=jnp.where(c > 0, last, st.tok),
+            active=st.active & ~ended,
+            hist=new_hist,
+        )
+        return (
+            st,
+            out,
+            hid_buf,
+            emitted + c,
+            accepted + jnp.maximum(c - 1, 0),
+        )
+
+    D = params["embed"].shape[1]
+    out0 = jnp.full((N, chunk), pad_id, jnp.int32)
+    hid0 = jnp.zeros((N, chunk, D) if capture_hidden else (N, 0, 0), dtype)
+    st, out, hid, emitted, accepted = jax.lax.while_loop(
+        lambda c: jnp.any(c[0].active & (c[3] < chunk)),
+        step,
+        (state, out0, hid0, jnp.zeros((N,), jnp.int32),
+         jnp.zeros((N,), jnp.int32)),
+    )
+    if capture_hidden:
+        return st, out, emitted, accepted, hid
+    return st, out, emitted, accepted

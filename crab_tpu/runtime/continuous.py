@@ -30,6 +30,14 @@ from crab_tpu.runtime.engine import InferenceEngine, splice_from_arrays
 from crab_tpu.tasks.registry import TASKS
 
 
+def _hist_rows(sb) -> np.ndarray:
+    """Prompt token ids per cache row; -1 at feature-splice and pad rows
+    (the spec-decode draft lookup must only match real text)."""
+    return np.where(
+        (sb.feat_idx >= 0) | (sb.attention_mask == 0), -1, sb.text_ids
+    ).astype(np.int32)
+
+
 class _Request:
     __slots__ = (
         "idx", "task", "sample", "max_new", "tokens", "slot", "done",
@@ -61,6 +69,7 @@ class ContinuousEngine:
         chunk: int = 16,
         prefill_chunk: int = 0,
         admit_batch: int = 4,
+        spec_k: int = 0,
     ):
         """``prefill_chunk``: admit prompts in pieces of this many tokens,
         running a decode chunk for the active slots between pieces —
@@ -71,7 +80,13 @@ class ContinuousEngine:
         ``admit_batch``: max requests per batched admission prefill —
         bounds the group prefill's transient HBM next to the live slot
         caches (a full-slot-count group at 7B OOMs beside an 8x1024
-        cache; 4 is safe with headroom)."""
+        cache; 4 is safe with headroom).
+
+        ``spec_k``: >0 enables self-speculative (prompt-lookup) decoding —
+        each decode forward verifies spec_k history-drafted tokens, so
+        repeated n-grams emit several tokens per weight read (lm/spec.py).
+        Greedy-only and token-identical to the plain chunk loop; requires
+        temperature == 0 on the wrapped engine."""
         self.engine = engine
         self.cfg = engine.cfg
         self.slots = slots
@@ -79,6 +94,14 @@ class ContinuousEngine:
         self.chunk = chunk
         self.prefill_chunk = prefill_chunk
         self.admit_batch = max(admit_batch, 1)
+        self.spec_k = int(spec_k)
+        if self.spec_k and getattr(engine, "temperature", 0.0) > 0.0:
+            raise ValueError(
+                "spec_k requires greedy decoding (engine temperature == 0):"
+                " lossless speculation verifies argmax tokens; sampled"
+                " distributions would need rejection sampling"
+            )
+        self._accepted_dev = jnp.zeros((), jnp.int32)
         self._dtype = engine._dtype
         self.state = SlotState.zeros(
             self.cfg.decoder, slots, max_len, self._dtype
@@ -87,10 +110,21 @@ class ContinuousEngine:
         self._seg_programs: Dict = {}
         cfgd = self.cfg.decoder
 
-        def _chunk(params, state, capture):
+        def _chunk(params, state, rng, capture):
+            if self.spec_k:
+                from crab_tpu.lm.spec import spec_decode_chunk
+
+                del rng  # greedy-only
+                return spec_decode_chunk(
+                    params["decoder"], cfgd, state, self.chunk,
+                    engine.eos_id, engine.pad_id, spec_k=self.spec_k,
+                    capture_hidden=capture,
+                )
             return cb_decode_chunk(
                 params["decoder"], cfgd, state, self.chunk,
                 engine.eos_id, engine.pad_id, capture_hidden=capture,
+                temperature=engine.temperature, top_k=engine.top_k,
+                top_p=engine.top_p, rng=rng,
             )
 
         # donate the slot state everywhere it flows through a program:
@@ -114,12 +148,16 @@ class ContinuousEngine:
             engine = self.engine
             cfg = self.cfg
 
-            def fn(params, media, text_ids, feat_idx, attn, pos):
+            def fn(params, media, text_ids, feat_idx, attn, pos, rng):
                 bank, seg_taps = engine._encode_bank(params, media, avs)
                 emb = splice_from_arrays(
                     params["decoder"]["embed"], text_ids, feat_idx, bank
                 ).astype(self._dtype)
-                out = cb_prefill(params["decoder"], cfg.decoder, emb, attn, pos)
+                out = cb_prefill(
+                    params["decoder"], cfg.decoder, emb, attn, pos,
+                    temperature=engine.temperature, top_k=engine.top_k,
+                    top_p=engine.top_p, rng=rng,
+                )
                 return out + (seg_taps,)
 
             self._prefill_programs[key] = jax.jit(fn)
@@ -148,7 +186,10 @@ class ContinuousEngine:
         if key not in self._prefill_programs:
             cfgd = self.cfg.decoder
 
-            def fn(dparams, emb_piece, cache, amask, pos_piece):
+            engine = self.engine
+
+            def fn(dparams, emb_piece, cache, amask, pos_piece, rng):
+                from crab_tpu.lm.generate import sample_logits
                 from crab_tpu.lm.llama import llama_apply
 
                 logits, _, cache, _ = llama_apply(
@@ -156,7 +197,10 @@ class ContinuousEngine:
                     position_ids=pos_piece, cache=cache,
                     last_logit_only=True,
                 )
-                first = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                first = sample_logits(
+                    logits[:, -1], rng, engine.temperature, engine.top_k,
+                    engine.top_p,
+                )
                 return cache, first
 
             self._prefill_programs[key] = jax.jit(fn)
@@ -173,10 +217,12 @@ class ContinuousEngine:
         task = TASKS[req.task]
         spec, media = engine.build_sample(task, req.sample)
         t_pad = engine._pad_len([spec], task)
-        if t_pad + req.max_new > self.max_len:
+        if t_pad + req.max_new + self.spec_k > self.max_len:
             raise ValueError(
-                f"prompt {t_pad} + max_new {req.max_new} exceeds slot length "
-                f"{self.max_len}"
+                f"prompt {t_pad} + max_new {req.max_new} + spec_k "
+                f"{self.spec_k} exceeds slot length {self.max_len}"
+                " (the last verify window scatters K/V spec_k rows past"
+                " the final token)"
             )
         sig = (
             t_pad,
@@ -214,8 +260,10 @@ class ContinuousEngine:
             jnp.asarray(sb.feat_idx),
             jnp.asarray(sb.attention_mask),
             jnp.asarray(sb.position_ids),
+            engine._next_key(),
         )
         amask = jnp.asarray(sb.attention_mask)
+        hist = jnp.asarray(_hist_rows(sb))
         for i, it in enumerate(items):
             req, slot = it[0], it[1]
             if avs and seg_taps is not None:
@@ -226,6 +274,7 @@ class ContinuousEngine:
             self.state = self._deposit(
                 self.state, slot, k[:, i: i + 1], v[:, i: i + 1],
                 amask[i: i + 1], first[i: i + 1], next_pos[i: i + 1],
+                hist[i: i + 1],
             )
         firsts = np.asarray(first)  # one sync for the whole group
         for req, ft in zip(reqs, firsts):
@@ -271,7 +320,7 @@ class ContinuousEngine:
                 piece_fn = self._piece_for(hi - lo, t_pad)
                 cache, first = piece_fn(
                     engine.params["decoder"], emb[:, lo:hi], cache,
-                    amask, pos[:, lo:hi],
+                    amask, pos[:, lo:hi], engine._next_key(),
                 )
                 lo = hi
                 if lo < t_pad:
@@ -289,6 +338,7 @@ class ContinuousEngine:
                 jnp.asarray(sb.feat_idx),
                 jnp.asarray(sb.attention_mask),
                 jnp.asarray(sb.position_ids),
+                engine._next_key(),
             )
         if req.is_avs:
             req.seg_taps = seg_taps
@@ -297,12 +347,19 @@ class ContinuousEngine:
         # error path can retire the slot instead of leaking it active
         req.slot = slot
         self.state = self._deposit(
-            self.state, slot, k, v, jnp.asarray(sb.attention_mask), first, next_pos
+            self.state, slot, k, v, jnp.asarray(sb.attention_mask), first,
+            next_pos, jnp.asarray(_hist_rows(sb)),
         )
         first_tok = int(np.asarray(first)[0])
         req.tokens.append(first_tok)
         if first_tok == engine.eos_id or req.max_new <= 1:
             self._finish(req)
+
+    @property
+    def spec_accepted(self) -> int:
+        """Total drafted-and-accepted tokens so far (spec_k mode). Forces
+        one device sync — read it between runs, not mid-stream."""
+        return int(np.asarray(self._accepted_dev))
 
     def _finish(self, req: _Request):
         req.done = True
@@ -371,8 +428,15 @@ class ContinuousEngine:
             if not by_slot:
                 return
             capture = any(r.is_avs for r in by_slot.values())
-            res = self._chunk_fn(self.engine.params, self.state, capture)
-            if capture:
+            res = self._chunk_fn(
+                self.engine.params, self.state, self.engine._next_key(), capture
+            )
+            if self.spec_k:
+                self.state, out, emitted, acc = res[:4]
+                hid = np.asarray(res[4]) if capture else None
+                # lazy device-side accumulation — no extra sync per chunk
+                self._accepted_dev = self._accepted_dev + jnp.sum(acc)
+            elif capture:
                 self.state, out, emitted, hid = res
                 hid = np.asarray(hid)
             else:

@@ -63,6 +63,10 @@ class InferenceEngine:
         mesh=None,
         pack: bool = True,
         pack_donate: bool = False,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        sample_seed: int = 0,
     ):
         self.cfg = cfg
         if pack and "layers" in params.get("decoder", {}):
@@ -92,6 +96,18 @@ class InferenceEngine:
         self.seq_bucket = seq_bucket
         self._dtype = jnp.dtype(cfg.compute_dtype)
         self._programs = {}
+        # sampling knobs (greedy by default — the reference's HF generate
+        # default); each dispatch folds a fresh counter into the base key
+        # so batches draw independent samples without host RNG state.
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self._base_key = jax.random.PRNGKey(sample_seed)
+        self._sample_calls = 0
+
+    def _next_key(self) -> jnp.ndarray:
+        self._sample_calls += 1
+        return jax.random.fold_in(self._base_key, self._sample_calls)
 
     # ------------------------------------------------------------------
     # host side: prompt building
@@ -183,8 +199,9 @@ class InferenceEngine:
 
     def _make_generate(self):
         cfg = self.cfg
+        temperature, top_k, top_p = self.temperature, self.top_k, self.top_p
 
-        def gen(decoder_params, bank, text_ids, feat_idx, attn, pos, max_new):
+        def gen(decoder_params, bank, text_ids, feat_idx, attn, pos, rng, max_new):
             emb = splice_from_arrays(
                 decoder_params["embed"], text_ids, feat_idx, bank
             ).astype(self._dtype)
@@ -197,6 +214,10 @@ class InferenceEngine:
                 max_new_tokens=max_new,
                 eos_id=self.eos_id,
                 pad_id=self.pad_id,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                rng=rng,
             )
 
         return jax.jit(gen, static_argnames=("max_new",))
@@ -310,6 +331,7 @@ class InferenceEngine:
             jnp.asarray(batch.feat_idx),
             jnp.asarray(batch.attention_mask),
             jnp.asarray(batch.position_ids),
+            self._next_key(),
             task.max_new_tokens,
         )
         masks = found = None
@@ -399,6 +421,7 @@ class InferenceEngine:
             jnp.asarray(batch.feat_idx),
             jnp.asarray(batch.attention_mask),
             jnp.asarray(batch.position_ids),
+            self._next_key(),
             task.max_new_tokens,
         )
         masks = found = None

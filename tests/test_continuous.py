@@ -101,6 +101,32 @@ def test_continuous_matches_batch_engine(engine, monkeypatch):
     assert not bool(np.asarray(cb.state.active).any())
 
 
+def test_continuous_sampling(monkeypatch):
+    """Sampling knobs flow into the slot decode loop: high temperature with
+    different seeds gives different token streams; the same seed
+    reproduces; greedy (default) is unaffected by the seed."""
+    from crab_tpu.tasks import registry
+
+    task = _task("tiny-cb-sample", max_new=8)
+    monkeypatch.setitem(registry.TASKS, "tiny-cb-sample", task)
+    rng = np.random.default_rng(13)
+    samples = [{"question": "what sounds first", "_media": _media(rng)}]
+    reqs = [{"task": "tiny-cb-sample", "sample": s} for s in samples]
+    params = init_crab(jax.random.PRNGKey(0), CFG)
+
+    def run(temperature, seed):
+        eng = InferenceEngine(
+            CFG, params, StubTokenizer(SPECIAL), SPECIAL, eos_id=399,
+            seq_bucket=32, temperature=temperature, sample_seed=seed,
+        )
+        return ContinuousEngine(eng, slots=2, max_len=256, chunk=3).run(reqs)
+
+    s1, s2, s1b = run(8.0, 1), run(8.0, 2), run(8.0, 1)
+    assert s1 != s2  # 8 tokens over a ~400 vocab at T=8: collision ~0
+    assert s1 == s1b
+    assert run(0.0, 1) == run(0.0, 2)
+
+
 def test_continuous_max_new_and_slot_reuse(engine, monkeypatch):
     from crab_tpu.tasks import registry
 

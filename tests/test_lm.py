@@ -310,6 +310,36 @@ def test_sampling_generate(params):
     tk = generate(params, CFG, jnp.asarray(embeds), mask, pos, 6, 10**6,
                   temperature=1.0, top_k=1, rng=jax.random.PRNGKey(3))
     np.testing.assert_array_equal(np.asarray(tk.tokens), np.asarray(greedy.tokens))
+    # top-p -> 0 keeps only the argmax token: equals greedy too
+    tp = generate(params, CFG, jnp.asarray(embeds), mask, pos, 6, 10**6,
+                  temperature=1.0, top_p=1e-9, rng=jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(np.asarray(tp.tokens), np.asarray(greedy.tokens))
+
+
+def test_sample_logits_nucleus():
+    """Nucleus truncation: tokens outside the smallest mass->=top_p set are
+    never drawn; top_p=1.0 leaves the distribution untouched (same key,
+    same draw as plain temperature sampling)."""
+    from crab_tpu.lm.generate import sample_logits
+
+    # probs [0.5, 0.3, 0.15, 0.05] -> top_p=0.7 nucleus = {0, 1}
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]], jnp.float32))
+    draws = set()
+    for i in range(200):
+        t = sample_logits(logits, jax.random.PRNGKey(i), temperature=1.0,
+                          top_p=0.7)
+        draws.add(int(t[0]))
+    assert draws <= {0, 1} and len(draws) == 2
+    # boundary token kept: top_p=0.45 keeps exactly {0} (mass crosses at 0;
+    # 0.45 not 0.5 to stay clear of float round-off at the boundary)
+    only0 = {int(sample_logits(logits, jax.random.PRNGKey(i), 1.0,
+                               top_p=0.45)[0]) for i in range(50)}
+    assert only0 == {0}
+    # top_p=1.0 is a no-op relative to plain temperature sampling
+    k = jax.random.PRNGKey(7)
+    a = sample_logits(logits, k, temperature=1.0)
+    b = sample_logits(logits, k, temperature=1.0, top_p=1.0)
+    assert int(a[0]) == int(b[0])
 
 
 def test_lora_dropout_train_vs_eval():
