@@ -213,23 +213,29 @@ def main():
             _orig(req)
 
         cb._finish = timed_finish
+        name = f"continuous(pf={pf_chunk}" + (
+            f",spec={spec_k})" if spec_k else ")"
+        )
         t0 = time.time()
         cb.run_requests(trace)
-        print(f"# continuous pf={pf_chunk} warm: {time.time()-t0:.1f}s",
-              file=sys.stderr)
+        print(f"# {name} warm: {time.time()-t0:.1f}s", file=sys.stderr)
         finish.clear()
         t0 = time.time()
         cb.run_requests(trace)
         wall = time.time() - t0
         lat = np.asarray([finish[i] - t0 for i in range(N_REQ)])
-        results.append({
-            "engine": f"continuous(pf={pf_chunk})",
+        row = {
+            "engine": name,
             "requests_per_s": round(N_REQ / wall, 3),
             "p50_finish_s": round(float(np.percentile(lat, 50)), 2),
             "p99_finish_s": round(float(np.percentile(lat, 99)), 2),
             "wall_s": round(wall, 2),
-        })
-        print(f"# continuous(pf={pf_chunk}): {results[-1]}", file=sys.stderr)
+        }
+        if spec_k:
+            # both runs' acceptances accumulate; halve for a per-run figure
+            row["spec_accepted_per_run"] = cb.spec_accepted // 2
+        results.append(row)
+        print(f"# {name}: {results[-1]}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "serving_mixed_trace",

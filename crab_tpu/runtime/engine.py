@@ -106,6 +106,13 @@ class InferenceEngine:
         self._sample_calls = 0
 
     def _next_key(self) -> jnp.ndarray:
+        # Greedy (the default): samplers ignore the key, so hand every
+        # dispatch the same cached one — a per-call fold_in is an extra
+        # eager device op whose output the program must wait on, and
+        # through this environment's relay that round trip measurably
+        # slows the continuous-engine chunk loop (bench_serve.py).
+        if self.temperature <= 0.0:
+            return self._base_key
         self._sample_calls += 1
         return jax.random.fold_in(self._base_key, self._sample_calls)
 

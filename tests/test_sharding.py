@@ -34,6 +34,45 @@ def test_param_specs_structure():
     )
 
 
+def test_sharded_int8_generate_matches_single_device():
+    """Quantized decoders must TP/FSDP-shard too: w_q/w_s carry their own
+    PartitionSpecs (an earlier gap silently replicated int8 weights on
+    every device). Token parity pins both spec correctness and that the
+    mixed-dot dequant path commutes with the sharding."""
+    from crab_tpu.lm.quant import quantize_decoder
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    params = quantize_decoder(init_llama(jax.random.PRNGKey(3), CFG.decoder))
+
+    specs = crab_param_specs({"decoder": params})["decoder"]
+    assert specs["layers"]["q"]["w_q"] == jax.sharding.PartitionSpec(
+        None, "data", "model"
+    )
+    assert specs["layers"]["q"]["w_s"] == jax.sharding.PartitionSpec(
+        None, None, "model"
+    )
+    assert specs["layers"]["down"]["w_s"] == jax.sharding.PartitionSpec(
+        None, None, "data"
+    )
+
+    rng = np.random.default_rng(1)
+    B, T = 2, 8
+    embeds = rng.standard_normal((B, T, CFG.decoder.hidden_size)).astype(np.float32) * 0.1
+    mask = np.ones((B, T), np.int32)
+    pos = np.cumsum(mask, -1) - 1
+    ref = generate(
+        params, CFG.decoder, jnp.asarray(embeds), jnp.asarray(mask),
+        jnp.asarray(pos), max_new_tokens=6, eos_id=10**6,
+    )
+    sharded = shard_crab_params({"decoder": params}, mesh)["decoder"]
+    out = generate(
+        sharded, CFG.decoder, jnp.asarray(embeds), jnp.asarray(mask),
+        jnp.asarray(pos), max_new_tokens=6, eos_id=10**6,
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+
+
 def test_sharded_generate_matches_single_device():
     assert jax.device_count() >= 8
     mesh = make_mesh(MeshSpec(data=2, model=4))
