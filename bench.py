@@ -52,6 +52,9 @@ BATCH = int(os.environ.get("CRAB_BENCH_BATCH", "16"))
 # weight bits: 8 = per-channel int8 (XLA mixed conv); 4 = group-int4
 # via the Pallas W4A16 kernel (ops/w4a16_matmul.py)
 WBITS = int(os.environ.get("CRAB_BENCH_WBITS", "8"))
+# self-speculative decoding depth for the full-budget row (0 = off);
+# greedy-lossless prompt-lookup drafting (lm/spec.py)
+SPEC_K = int(os.environ.get("CRAB_BENCH_SPEC", "4"))
 
 
 def a100_anchor(n_tokens: int) -> float:
@@ -292,6 +295,7 @@ def main():
     # ---- full-budget rows: the reference's max_new_tokens=500 ---------
     lat500 = None
     clips500 = None
+    clips500_spec = None
     if os.environ.get("CRAB_BENCH_500", "1") == "1":
         bench_task_named("bench-avqa-500", 500)
         t1 = time.time()
@@ -337,6 +341,33 @@ def main():
                 clips500 = b500 / best
                 print(f"# 500-token batch-{b500}: {best:.1f} s/batch "
                       f"({clips500:.3f} clips/s)", file=sys.stderr)
+            if b500 is not None and SPEC_K:
+                # self-speculative row (lm/spec.spec_generate over the
+                # int8 slot cache): long repetitive decodes are exactly
+                # where n-gram drafting accepts, so the full-budget row
+                # is the one speculation moves. Greedy-lossless (every
+                # token is a real argmax; see lm/spec.py).
+                try:
+                    spec_engine = InferenceEngine(
+                        cfg, engine.params, BenchTokenizer(), special,
+                        eos_id=2, pad_id=0, pack=False, spec_k=SPEC_K,
+                    )
+                    t1 = time.time()
+                    spec_engine.run("bench-avqa-500", samples_all[:b500])
+                    print(f"# 500-token spec_k={SPEC_K} compile+first: "
+                          f"{time.time()-t1:.1f}s", file=sys.stderr)
+                    best = 1e9
+                    for _ in range(2):
+                        t1 = time.time()
+                        spec_engine.run("bench-avqa-500", samples_all[:b500])
+                        best = min(best, time.time() - t1)
+                    clips500_spec = b500 / best
+                    print(f"# 500-token batch-{b500} spec_k={SPEC_K}: "
+                          f"{best:.1f} s/batch ({clips500_spec:.3f} "
+                          "clips/s)", file=sys.stderr)
+                except Exception as e:  # noqa: BLE001
+                    print(f"# 500-token spec row failed ({e!s:.120}); "
+                          "skipped", file=sys.stderr)
 
     record = {
         "metric": "avqa_e2e_clips_per_sec_per_chip",
@@ -364,6 +395,12 @@ def main():
         record["clips_per_sec_500tok"] = round(clips500, 4)
         record["batch_500tok"] = b500
         record["vs_a100_500tok"] = round(clips500 / a100_anchor(500), 2)
+    if clips500_spec is not None:
+        record["clips_per_sec_500tok_spec"] = round(clips500_spec, 4)
+        record["spec_k"] = SPEC_K
+        record["vs_a100_500tok_spec"] = round(
+            clips500_spec / a100_anchor(500), 2
+        )
     print(json.dumps(record))
 
 

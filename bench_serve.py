@@ -187,8 +187,23 @@ def main():
     print(f"# batch: {results[-1]}", file=sys.stderr)
 
     # ---- (b) continuous engine ----
+    # kv8 rows run the int8 slot cache (SlotStateQ): half the per-slot
+    # HBM, so the same budget carries 2x the slots — the capacity lever,
+    # not a speed lever (decode step time is ~equal; tools/README.md).
+    q_engine = InferenceEngine(
+        cfg.replace(
+            decoder=dataclasses.replace(cfg.decoder, kv_quant=True)
+        ),
+        engine.params, BenchTokenizer(), special, eos_id=2, pad_id=0,
+        pack=False,  # engine.params are already packed
+    )
     cb = None
-    for pf_chunk, spec_k in ((0, 0), (256, 0), (256, 4)):
+    for pf_chunk, spec_k, kv8, slots in (
+        (0, 0, False, SLOTS),
+        (256, 0, False, SLOTS),
+        (256, 4, False, SLOTS),
+        (256, 4, True, 2 * SLOTS),
+    ):
         if cb is not None:
             # free the previous engine's 4.3 GB slot state NOW — the
             # timed_finish closure cycle defers GC past the next alloc
@@ -200,10 +215,11 @@ def main():
             cb = None
         # slot cache is bf16: 8 slots x 1024 = 4.3 GB next to 6.5 GB int8
         # weights + 1 GB encoders; 1792 would be 7.5 GB and OOM. The
-        # trace tops out at ~896 prompt + 96 decode.
+        # trace tops out at ~896 prompt + 96 decode. int8 slots halve the
+        # per-slot cost, so the kv8 row doubles the slot count instead.
         cb = ContinuousEngine(
-            engine, slots=SLOTS, max_len=1024, chunk=16,
-            prefill_chunk=pf_chunk, spec_k=spec_k,
+            q_engine if kv8 else engine, slots=slots, max_len=1024,
+            chunk=16, prefill_chunk=pf_chunk, spec_k=spec_k,
         )
         finish = {}
         orig = cb._finish
@@ -213,9 +229,12 @@ def main():
             _orig(req)
 
         cb._finish = timed_finish
-        name = f"continuous(pf={pf_chunk}" + (
-            f",spec={spec_k})" if spec_k else ")"
-        )
+        name = f"continuous(pf={pf_chunk}"
+        if spec_k:
+            name += f",spec={spec_k}"
+        if kv8:
+            name += f",kv8,slots={slots}"
+        name += ")"
         t0 = time.time()
         cb.run_requests(trace)
         print(f"# {name} warm: {time.time()-t0:.1f}s", file=sys.stderr)

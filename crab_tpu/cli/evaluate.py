@@ -57,6 +57,10 @@ def main(argv=None):
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0, help="sampling seed")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="self-speculative decoding: verify N history-"
+                        "drafted tokens per forward (greedy only, bf16 KV,"
+                        " token-identical; lm/spec.py)")
     args = p.parse_args(argv)
 
     from crab_tpu.runtime.engine import InferenceEngine
@@ -80,7 +84,7 @@ def main(argv=None):
         cfg, params, build_tokenizer(args, special), special,
         chat_style=chat_style, eos_id=eos_id,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-        sample_seed=args.seed,
+        sample_seed=args.seed, spec_k=args.spec_k,
     )
 
     with open(args.annotations) as f:

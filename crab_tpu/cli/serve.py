@@ -57,7 +57,10 @@ def main(argv=None):
     p.add_argument("--avs-delta", default="")
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--int8", action="store_true")
-    p.add_argument("--kv-quant", action="store_true")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache — batch engine: KVCacheQ decode; "
+                        "continuous engine: int8 slot caches (SlotStateQ, "
+                        "half the per-slot HBM)")
     p.add_argument("--a8-prefill", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--temperature", type=float, default=0.0,
@@ -75,11 +78,6 @@ def main(argv=None):
     from crab_tpu.runtime.engine import InferenceEngine
 
     cfg, special, chat_style, eos_id = select_model(args)
-    if args.kv_quant and args.engine == "continuous":
-        # lm/cb.py allocates bf16 slot caches; llama_apply picks the int8
-        # path by cache type, so the flag would be a silent no-op here
-        p.error("--kv-quant only applies to --engine batch; the "
-                "continuous engine's slot caches are bf16")
     if args.kv_quant or args.a8_prefill:
         import dataclasses
 
@@ -92,6 +90,9 @@ def main(argv=None):
         chat_style=chat_style, eos_id=eos_id,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         sample_seed=args.seed,
+        # the continuous engine speculates in its own slot loop; the batch
+        # engine speculates inside generate (lm/spec.spec_generate)
+        spec_k=args.spec_k if args.engine == "batch" else 0,
     )
 
     src = sys.stdin if args.requests == "-" else open(args.requests)

@@ -73,6 +73,48 @@ class SlotState(NamedTuple):
         )
 
 
+class SlotStateQ(NamedTuple):
+    """int8-KV slot state — the KVCacheQ of the slot world.
+
+    Same host semantics as SlotState; the K/V rows are stored int8 with
+    per-row fp32 scales in the (L, N, Hkv, S, d) layout that
+    ``ops.decode_attention`` reads (scales factor out of both attention
+    contractions, so decode stays mixed bf16 x s8 with no dequant copy).
+    Halves slot-cache HBM — double the slots/max_len per chip — and makes
+    the continuous engine's memory story match the batch engine's
+    ``kv_quant`` mode, with which it is token-identical (same per-row
+    quantizer, same XLA attention formulation; tests/test_continuous.py).
+    """
+
+    k_q: jnp.ndarray  # (L, N, Hkv, S_max, hd) int8
+    k_s: jnp.ndarray  # (L, N, Hkv, S_max) f32
+    v_q: jnp.ndarray
+    v_s: jnp.ndarray
+    bitmap: jnp.ndarray  # (N, S_max) int32
+    widx: jnp.ndarray  # (N,) int32
+    pos: jnp.ndarray  # (N,) int32
+    tok: jnp.ndarray  # (N,) int32
+    active: jnp.ndarray  # (N,) bool
+    hist: jnp.ndarray  # (N, S_max) int32
+
+    @classmethod
+    def zeros(cls, cfg: DecoderConfig, slots: int, max_len: int, dtype=None):
+        vshape = (cfg.num_layers, slots, cfg.num_kv_heads, max_len, cfg.head_dim)
+        sshape = (cfg.num_layers, slots, cfg.num_kv_heads, max_len)
+        return cls(
+            jnp.zeros(vshape, jnp.int8),
+            jnp.zeros(sshape, jnp.float32),
+            jnp.zeros(vshape, jnp.int8),
+            jnp.zeros(sshape, jnp.float32),
+            jnp.zeros((slots, max_len), jnp.int32),
+            jnp.zeros((slots,), jnp.int32),
+            jnp.zeros((slots,), jnp.int32),
+            jnp.zeros((slots,), jnp.int32),
+            jnp.zeros((slots,), bool),
+            jnp.full((slots, max_len), -1, jnp.int32),
+        )
+
+
 def cb_prefill(
     params,
     cfg: DecoderConfig,
@@ -114,15 +156,39 @@ def deposit(
 ):
     """Write a prefilled request into slot `slot` (host-driven, jittable).
 
+    ``k``/``v`` are the bf16 (L, 1, T, Hkv, hd) prefill cache slices from
+    ``cb_prefill`` for either state flavor; a SlotStateQ target quantizes
+    them per row on the way in (identical quantizer to the batch engine's
+    KVCacheQ prefill, so tokens stay bit-comparable across engines).
+
     ``hist_row`` (1, T) int32: prompt token ids with -1 at feature-splice
     and pad rows (None -> all -1: the slot still decodes correctly, the
     spec-decode draft lookup just can't match into the prompt)."""
     T = k.shape[2]
     if hist_row is None:
         hist_row = jnp.full((1, T), -1, jnp.int32)
-    return SlotState(
-        k=jax.lax.dynamic_update_slice(state.k, k, (0, slot, 0, 0, 0)),
-        v=jax.lax.dynamic_update_slice(state.v, v, (0, slot, 0, 0, 0)),
+    if isinstance(state, SlotStateQ):
+        from crab_tpu.ops.decode_attention import quantize_kv
+
+        kq, ks = quantize_kv(k.transpose(0, 1, 3, 2, 4))  # (L,1,Hkv,T,hd)
+        vq, vs = quantize_kv(v.transpose(0, 1, 3, 2, 4))
+        kv_fields = dict(
+            k_q=jax.lax.dynamic_update_slice(
+                state.k_q, kq, (0, slot, 0, 0, 0)
+            ),
+            k_s=jax.lax.dynamic_update_slice(state.k_s, ks, (0, slot, 0, 0)),
+            v_q=jax.lax.dynamic_update_slice(
+                state.v_q, vq, (0, slot, 0, 0, 0)
+            ),
+            v_s=jax.lax.dynamic_update_slice(state.v_s, vs, (0, slot, 0, 0)),
+        )
+    else:
+        kv_fields = dict(
+            k=jax.lax.dynamic_update_slice(state.k, k, (0, slot, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(state.v, v, (0, slot, 0, 0, 0)),
+        )
+    return state._replace(
+        **kv_fields,
         bitmap=jax.lax.dynamic_update_slice(
             state.bitmap,
             jnp.pad(
@@ -178,7 +244,8 @@ def cb_decode_chunk(
     lm/generate.GenerateResult.hidden; the AVS seg head consumes it via
     capture_mask_hidden."""
     N, S = state.bitmap.shape
-    dtype = state.k.dtype
+    quant = isinstance(state, SlotStateQ)
+    dtype = params["embed"].dtype if quant else state.k.dtype
 
     def step(carry):
         st, out, hid_buf, emitted, i, key = carry
@@ -194,9 +261,10 @@ def cb_decode_chunk(
         mask = jnp.where(bitmap[:, None, None, :] > 0, 0.0, NEG_INF).astype(
             jnp.float32
         )
+        bias = mask[:, 0, 0, :]  # (N, S) for the int8 decode attention
 
         def layer_fn(carry_l, inputs):
-            x, kc, vc = carry_l
+            x, *kv_bufs = carry_l
             layer_params, layer_idx = inputs
             packed = "qkv" in layer_params
             h = rms_norm(layer_params["attn_norm"], x, cfg.rms_norm_eps)
@@ -222,13 +290,39 @@ def cb_decode_chunk(
             # per-slot scatter at row widx (frozen for finished slots by
             # writing into row widx anyway — masked out via bitmap)
             rows = jnp.arange(N)
-            kc = kc.at[layer_idx, rows, st.widx].set(k[:, 0].astype(dtype))
-            vc = vc.at[layer_idx, rows, st.widx].set(v[:, 0].astype(dtype))
-            k_full = jax.lax.dynamic_index_in_dim(kc, layer_idx, 0, False)
-            v_full = jax.lax.dynamic_index_in_dim(vc, layer_idx, 0, False)
-            attn = _attention(
-                q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads
-            )
+            if quant:
+                from crab_tpu.ops.decode_attention import (
+                    decode_attention_int8_xla,
+                    quantize_kv,
+                )
+
+                kqc, ksc, vqc, vsc = kv_bufs
+                kq_new, ks_new = quantize_kv(k[:, 0])  # (N, Hkv, d), (N, Hkv)
+                vq_new, vs_new = quantize_kv(v[:, 0])
+                kqc = kqc.at[layer_idx, rows, :, st.widx].set(kq_new)
+                ksc = ksc.at[layer_idx, rows, :, st.widx].set(ks_new)
+                vqc = vqc.at[layer_idx, rows, :, st.widx].set(vq_new)
+                vsc = vsc.at[layer_idx, rows, :, st.widx].set(vs_new)
+                attn = decode_attention_int8_xla(
+                    q[:, 0],
+                    jax.lax.dynamic_index_in_dim(kqc, layer_idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(ksc, layer_idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(vqc, layer_idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(vsc, layer_idx, 0, False),
+                    bias=bias,
+                )
+                attn = attn.reshape(N, 1, cfg.num_heads * cfg.head_dim)
+                kv_bufs = [kqc, ksc, vqc, vsc]
+            else:
+                kc, vc = kv_bufs
+                kc = kc.at[layer_idx, rows, st.widx].set(k[:, 0].astype(dtype))
+                vc = vc.at[layer_idx, rows, st.widx].set(v[:, 0].astype(dtype))
+                k_full = jax.lax.dynamic_index_in_dim(kc, layer_idx, 0, False)
+                v_full = jax.lax.dynamic_index_in_dim(vc, layer_idx, 0, False)
+                attn = _attention(
+                    q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads
+                )
+                kv_bufs = [kc, vc]
             o = _proj(layer_params["o"], attn, cfg.lora)
             x = x + o
             h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
@@ -242,11 +336,14 @@ def cb_decode_chunk(
             x = x + _proj(
                 layer_params["down"], jax.nn.silu(gate) * up, cfg.lora
             )
-            return (x, kc, vc), None
+            return (x, *kv_bufs), None
 
-        (x, kc, vc), _ = jax.lax.scan(
+        init_bufs = (
+            (st.k_q, st.k_s, st.v_q, st.v_s) if quant else (st.k, st.v)
+        )
+        (x, *kv_bufs), _ = jax.lax.scan(
             layer_fn,
-            (emb, st.k, st.v),
+            (emb, *init_bufs),
             (params["layers"], jnp.arange(cfg.num_layers)),
         )
         x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)
@@ -262,9 +359,13 @@ def cb_decode_chunk(
         out = jax.lax.dynamic_update_slice(out, emit[:, None], (0, i))
         emitted = emitted + st.active.astype(jnp.int32)
         new_active = st.active & (nxt != eos_id)
-        st = SlotState(
-            k=kc,
-            v=vc,
+        kv_fields = (
+            dict(zip(("k_q", "k_s", "v_q", "v_s"), kv_bufs))
+            if quant
+            else dict(zip(("k", "v"), kv_bufs))
+        )
+        st = st._replace(
+            **kv_fields,
             bitmap=bitmap,
             widx=jnp.where(st.active, st.widx + 1, st.widx),
             pos=jnp.where(st.active, st.pos + 1, st.pos),

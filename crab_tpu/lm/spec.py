@@ -13,8 +13,15 @@ rich in repeated n-grams, which is where this pays.
 
 Greedy-only and LOSSLESS: every emitted token is an argmax of the real
 model's logits given the true prefix — acceptance only decides how many
-of them one program produces. Token streams are bit-identical to
-``cb_decode_chunk`` (pinned by tests/test_spec.py).
+of them one program produces. The (N, k+1) verify forward's
+reductions round differently from the single-token forward's, so a
+numerically TIED argmax can resolve either way — the same
+nondeterminism class as changing the batch size. Short streams are
+pinned bit-identical by tests/test_spec.py; on degenerate random-weight
+cyclic outputs a tie-flip was measured at token ~16 in fp32 (top-1/2
+logit gap 8e-4, where the teacher-forced full forward agreed with the
+SPEC token) and ~70-100 in bf16 on chip. Trained-model gaps at real
+answer tokens are orders of magnitude wider.
 
 Algorithm per loop step, all slots at once, static shapes throughout:
   1. draft: find the most recent earlier occurrence of the bigram
@@ -41,10 +48,12 @@ from crab_tpu.core.layers import rms_norm
 from crab_tpu.lm.cb import SlotState
 from crab_tpu.lm.llama import (
     NEG_INF,
+    KVCache,
     _apply_rope,
     _attention,
     _proj,
     _rope,
+    llama_apply,
     lm_head_logits,
 )
 
@@ -93,9 +102,16 @@ def spec_decode_chunk(
     `accepted` = drafted tokens accepted this chunk (telemetry — emitted
     already counts them). Slots need spec_k rows of cache slack: the last
     verify window may scatter K/V up to row widx+spec_k (the admission
-    check in runtime/continuous.py accounts for it)."""
+    check in runtime/continuous.py accounts for it).
+
+    Works over both slot flavors: bf16 ``SlotState`` and int8
+    ``SlotStateQ`` (rejected rows' quantized K/V are overwritten on the
+    next verify, exactly like the bf16 rows)."""
+    from crab_tpu.lm.cb import SlotStateQ
+
     N, S = state.bitmap.shape
-    dtype = state.k.dtype
+    quant = isinstance(state, SlotStateQ)
+    dtype = params["embed"].dtype if quant else state.k.dtype
     T = spec_k + 1
     ar_t = jnp.arange(T)
     rows = jnp.arange(N)
@@ -114,7 +130,8 @@ def spec_decode_chunk(
             ar_s[None, None, :] <= st.widx[:, None, None] + ar_t[None, :, None]
         )
         attend = (st.bitmap[:, None, :] > 0) | win  # (N, T, S)
-        mask = jnp.where(attend[:, None], 0.0, NEG_INF).astype(jnp.float32)
+        win_bias = jnp.where(attend, 0.0, NEG_INF).astype(jnp.float32)
+        mask = win_bias[:, None]  # (N, 1, T, S) for the bf16 attention
         emb = jnp.take(
             params["embed"], jnp.maximum(toks_in, 0), axis=0
         ).astype(dtype)
@@ -122,7 +139,7 @@ def spec_decode_chunk(
         scat = jnp.minimum(scat, S - 1)  # full slots are inactive; clamp
 
         def layer_fn(carry_l, inputs):
-            x, kc, vc = carry_l
+            x, *kv_bufs = carry_l
             layer_params, layer_idx = inputs
             packed = "qkv" in layer_params
             h = rms_norm(layer_params["attn_norm"], x, cfg.rms_norm_eps)
@@ -145,13 +162,38 @@ def spec_decode_chunk(
             k = k.reshape(N, T, cfg.num_kv_heads, cfg.head_dim)
             v = v.reshape(N, T, cfg.num_kv_heads, cfg.head_dim)
             q, k = _apply_rope(q, k, cos, sin)
-            kc = kc.at[layer_idx, rows[:, None], scat].set(k.astype(dtype))
-            vc = vc.at[layer_idx, rows[:, None], scat].set(v.astype(dtype))
-            k_full = jax.lax.dynamic_index_in_dim(kc, layer_idx, 0, False)
-            v_full = jax.lax.dynamic_index_in_dim(vc, layer_idx, 0, False)
-            attn = _attention(
-                q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads
-            )
+            if quant:
+                from crab_tpu.ops.decode_attention import (
+                    quantize_kv,
+                    window_attention_int8_xla,
+                )
+
+                kqc, ksc, vqc, vsc = kv_bufs
+                kq_new, ks_new = quantize_kv(k)  # (N,T,Hkv,d), (N,T,Hkv)
+                vq_new, vs_new = quantize_kv(v)
+                kqc = kqc.at[layer_idx, rows[:, None], :, scat].set(kq_new)
+                ksc = ksc.at[layer_idx, rows[:, None], :, scat].set(ks_new)
+                vqc = vqc.at[layer_idx, rows[:, None], :, scat].set(vq_new)
+                vsc = vsc.at[layer_idx, rows[:, None], :, scat].set(vs_new)
+                attn = window_attention_int8_xla(
+                    q,
+                    jax.lax.dynamic_index_in_dim(kqc, layer_idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(ksc, layer_idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(vqc, layer_idx, 0, False),
+                    jax.lax.dynamic_index_in_dim(vsc, layer_idx, 0, False),
+                    bias=win_bias,
+                )
+                kv_bufs = [kqc, ksc, vqc, vsc]
+            else:
+                kc, vc = kv_bufs
+                kc = kc.at[layer_idx, rows[:, None], scat].set(k.astype(dtype))
+                vc = vc.at[layer_idx, rows[:, None], scat].set(v.astype(dtype))
+                k_full = jax.lax.dynamic_index_in_dim(kc, layer_idx, 0, False)
+                v_full = jax.lax.dynamic_index_in_dim(vc, layer_idx, 0, False)
+                attn = _attention(
+                    q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads
+                )
+                kv_bufs = [kc, vc]
             o = _proj(layer_params["o"], attn, cfg.lora)
             x = x + o
             h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
@@ -165,11 +207,14 @@ def spec_decode_chunk(
             x = x + _proj(
                 layer_params["down"], jax.nn.silu(gate) * up, cfg.lora
             )
-            return (x, kc, vc), None
+            return (x, *kv_bufs), None
 
-        (x, kc, vc), _ = jax.lax.scan(
+        init_bufs = (
+            (st.k_q, st.k_s, st.v_q, st.v_s) if quant else (st.k, st.v)
+        )
+        (x, *kv_bufs), _ = jax.lax.scan(
             layer_fn,
-            (emb, st.k, st.v),
+            (emb, *init_bufs),
             (params["layers"], jnp.arange(cfg.num_layers)),
         )
         x = rms_norm(params["final_norm"], x, cfg.rms_norm_eps)  # (N, T, D)
@@ -207,9 +252,13 @@ def spec_decode_chunk(
         last = jnp.take_along_axis(
             outt, jnp.maximum(c - 1, 0)[:, None], axis=1
         )[:, 0]
-        st = SlotState(
-            k=kc,
-            v=vc,
+        kv_fields = (
+            dict(zip(("k_q", "k_s", "v_q", "v_s"), kv_bufs))
+            if quant
+            else dict(zip(("k", "v"), kv_bufs))
+        )
+        st = st._replace(
+            **kv_fields,
             bitmap=new_bitmap,
             widx=st.widx + c,
             pos=st.pos + c,
@@ -237,3 +286,101 @@ def spec_decode_chunk(
     if capture_hidden:
         return st, out, emitted, accepted, hid
     return st, out, emitted, accepted
+
+
+def spec_generate(
+    params,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,  # (B, T, D) left-padded prompt embeddings
+    attention_mask: jnp.ndarray,  # (B, T) 1 = real token
+    position_ids: jnp.ndarray,  # (B, T)
+    max_new_tokens: int,
+    eos_id: int,
+    pad_id: int = 0,
+    spec_k: int = 4,
+    prompt_hist: jnp.ndarray | None = None,  # (B, T) ids, -1 at splice/pad
+):
+    """Whole-batch speculative decoding with the lm/generate.py contract.
+
+    Same inputs as ``generate`` (greedy only) and the same
+    ``GenerateResult`` contract (bit-identical in fp32; see the module
+    docstring for the bf16 tied-argmax caveat) — the batch engine swaps
+    this in when speculation is enabled, so the evaluate CLI and bench
+    get the multi-token-per-weight-read win without the slot scheduler. Internally: one standard
+    prefill into a (T + max_new + spec_k)-row cache, then the slot-chunk
+    verify loop with every batch row as a slot (all rows share widx = T;
+    acceptance still advances per row).
+
+    ``prompt_hist`` feeds the n-gram draft lookup with the prompt's text
+    tokens (-1 at feature-splice and pad rows). None means drafts can
+    only match the sequence's own generated tokens.
+
+    ``cfg.kv_quant`` runs the whole thing over the int8 slot cache
+    (``SlotStateQ`` + the windowed int8 attention): half the cache HBM,
+    same tokens as the batch engine's kv_quant decode. With bf16 KV the
+    tokens are bit-identical to ``generate``.
+    """
+    from crab_tpu.lm.cb import SlotStateQ
+    from crab_tpu.lm.generate import GenerateResult
+    from crab_tpu.lm.llama import KVCacheQ
+
+    B, T, D = inputs_embeds.shape
+    S = T + max_new_tokens + spec_k
+    dtype = inputs_embeds.dtype
+
+    cache_cls = KVCacheQ if cfg.kv_quant else KVCache
+    cache = cache_cls.zeros(cfg, B, S, dtype)
+    full_mask = jnp.zeros((B, S), jnp.int32).at[:, :T].set(attention_mask)
+    logits, _, cache, _ = llama_apply(
+        params,
+        cfg,
+        inputs_embeds,
+        attention_mask=full_mask,
+        position_ids=position_ids,
+        cache=cache,
+        last_logit_only=True,
+    )
+    last_logits = logits[:, -1]  # (B, V)
+    tok0 = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+
+    hist = jnp.full((B, S), -1, jnp.int32)
+    if prompt_hist is not None:
+        hist = hist.at[:, :T].set(prompt_hist.astype(jnp.int32))
+    common = dict(
+        bitmap=full_mask,
+        widx=jnp.full((B,), T, jnp.int32),
+        pos=position_ids[:, -1] + 1,
+        tok=tok0,
+        active=tok0 != eos_id,
+        hist=hist,
+    )
+    if cfg.kv_quant:
+        # KVCacheQ's prefill already wrote quantized rows in the slot
+        # layout (L, B, Hkv, S, d) — adopt its buffers directly
+        state = SlotStateQ(
+            k_q=cache.k_q, k_s=cache.k_s, v_q=cache.v_q, v_s=cache.v_s,
+            **common,
+        )
+    else:
+        state = SlotState(k=cache.k, v=cache.v, **common)
+
+    chunk = max_new_tokens - 1
+    if chunk > 0:
+        _, out, emitted, _, hid = spec_decode_chunk(
+            params, cfg, state, chunk, eos_id, pad_id,
+            spec_k=spec_k, capture_hidden=True,
+        )
+    else:
+        out = jnp.zeros((B, 0), jnp.int32)
+        emitted = jnp.zeros((B,), jnp.int32)
+        hid = jnp.zeros((B, 0, D), dtype)
+
+    # generate()'s layout: tokens[0] = tok0; hidden[j] (j >= 1) is the
+    # forward that processed token j-1 (hidden[0] is never written there
+    # and stays zero). Chunk index i maps to final index i + 1, and
+    # chunk hid[i] is the forward that processed final token i — the same
+    # alignment, shifted by the prepended first token.
+    tokens = jnp.concatenate([tok0[:, None], out], axis=1)
+    hidden = jnp.concatenate([jnp.zeros((B, 1, D), dtype), hid], axis=1)
+    num = jnp.sum(tokens != pad_id, axis=-1).astype(jnp.int32)
+    return GenerateResult(tokens, hidden, num, last_logits)

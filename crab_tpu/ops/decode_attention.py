@@ -141,6 +141,43 @@ def decode_attention_int8_xla(
     return out.reshape(B, H, d).astype(q.dtype)
 
 
+def window_attention_int8_xla(
+    q: jnp.ndarray,  # (B, T, H, d) — T-token verify window
+    k_q: jnp.ndarray,  # (B, Hkv, S, d) int8
+    k_s: jnp.ndarray,  # (B, Hkv, S) f32
+    v_q: jnp.ndarray,
+    v_s: jnp.ndarray,
+    bias: jnp.ndarray,  # (B, T, S) additive f32
+) -> jnp.ndarray:
+    """Multi-query generalization of ``decode_attention_int8_xla`` for the
+    speculative verify window: T queries per sequence attend the whole
+    int8 cache (the window's own rows included — the caller scatters them
+    first and masks causality through ``bias``). Same factored-scale
+    formulation as the T == 1 path; tilings differ across shapes, so
+    bf16 parity is up to rounding (lm/spec.py module docstring).
+    Returns (B, T, H*d) in q.dtype.
+    """
+    B, T, H, d = q.shape
+    Hkv = k_q.shape[1]
+    G = H // Hkv
+    qg = q.reshape(B, T, Hkv, G, d)
+    logits = jnp.einsum(
+        "bthgd,bhsd->bhtgs", qg, k_q.astype(qg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    logits = (
+        logits * (d ** -0.5) * k_s[:, :, None, None, :]
+        + bias.astype(jnp.float32)[:, None, :, None, :]
+    )
+    p = jax.nn.softmax(logits, axis=-1)
+    p = (p * v_s[:, :, None, None, :]).astype(qg.dtype)
+    out = jnp.einsum(
+        "bhtgs,bhsd->bthgd", p, v_q.astype(qg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, T, H * d).astype(q.dtype)
+
+
 def quantize_kv(x: jnp.ndarray):
     """(..., d) -> int8 values + (...) f32 scales (per trailing vector)."""
     xf = x.astype(jnp.float32)

@@ -25,7 +25,14 @@ import jax
 import jax.numpy as jnp
 
 from crab_tpu.fusion.splice import build_splice_batch
-from crab_tpu.lm.cb import SlotState, cb_decode_chunk, cb_prefill, deposit, retire
+from crab_tpu.lm.cb import (
+    SlotState,
+    SlotStateQ,
+    cb_decode_chunk,
+    cb_prefill,
+    deposit,
+    retire,
+)
 from crab_tpu.runtime.engine import InferenceEngine, splice_from_arrays
 from crab_tpu.tasks.registry import TASKS
 
@@ -85,7 +92,8 @@ class ContinuousEngine:
         ``spec_k``: >0 enables self-speculative (prompt-lookup) decoding —
         each decode forward verifies spec_k history-drafted tokens, so
         repeated n-grams emit several tokens per weight read (lm/spec.py).
-        Greedy-only and token-identical to the plain chunk loop; requires
+        Greedy-only; token-identical to the plain chunk loop up to bf16
+        tied-argmax rounding (lm/spec.py module docstring); requires
         temperature == 0 on the wrapped engine."""
         self.engine = engine
         self.cfg = engine.cfg
@@ -103,7 +111,14 @@ class ContinuousEngine:
             )
         self._accepted_dev = jnp.zeros((), jnp.int32)
         self._dtype = engine._dtype
-        self.state = SlotState.zeros(
+        # cfg.decoder.kv_quant selects the int8 slot cache (SlotStateQ):
+        # half the cache HBM per slot, tokens identical to the batch
+        # engine's kv_quant decode. Prefill stays bf16 either way (the
+        # request-local cache attends exact rows); deposit quantizes.
+        state_cls = (
+            SlotStateQ if self.cfg.decoder.kv_quant else SlotState
+        )
+        self.state = state_cls.zeros(
             self.cfg.decoder, slots, max_len, self._dtype
         )
         self._prefill_programs: Dict = {}

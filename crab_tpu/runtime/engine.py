@@ -67,6 +67,7 @@ class InferenceEngine:
         top_k: int = 0,
         top_p: float = 1.0,
         sample_seed: int = 0,
+        spec_k: int = 0,
     ):
         self.cfg = cfg
         if pack and "layers" in params.get("decoder", {}):
@@ -104,6 +105,14 @@ class InferenceEngine:
         self.top_p = float(top_p)
         self._base_key = jax.random.PRNGKey(sample_seed)
         self._sample_calls = 0
+        # speculative decoding for the lock-step batch path (lm/spec.py's
+        # spec_generate): greedy-lossless, so results are bit-identical —
+        # only the tokens-per-weight-read changes.
+        self.spec_k = int(spec_k)
+        if self.spec_k and self.temperature > 0.0:
+            raise ValueError(
+                "spec_k requires greedy decoding (temperature == 0)"
+            )
 
     def _next_key(self) -> jnp.ndarray:
         # Greedy (the default): samplers ignore the key, so hand every
@@ -207,11 +216,32 @@ class InferenceEngine:
     def _make_generate(self):
         cfg = self.cfg
         temperature, top_k, top_p = self.temperature, self.top_k, self.top_p
+        spec_k = self.spec_k
 
         def gen(decoder_params, bank, text_ids, feat_idx, attn, pos, rng, max_new):
             emb = splice_from_arrays(
                 decoder_params["embed"], text_ids, feat_idx, bank
             ).astype(self._dtype)
+            if spec_k:
+                from crab_tpu.lm.spec import spec_generate
+
+                # prompt text rows feed the n-gram draft lookup; splice
+                # and pad rows are -1 (never match)
+                hist = jnp.where(
+                    (feat_idx >= 0) | (attn == 0), -1, text_ids
+                ).astype(jnp.int32)
+                return spec_generate(
+                    decoder_params,
+                    cfg.decoder,
+                    emb,
+                    attn,
+                    pos,
+                    max_new_tokens=max_new,
+                    eos_id=self.eos_id,
+                    pad_id=self.pad_id,
+                    spec_k=spec_k,
+                    prompt_hist=hist,
+                )
             return generate(
                 decoder_params,
                 cfg.decoder,

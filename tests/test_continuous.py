@@ -295,3 +295,37 @@ def test_batched_admission_token_parity(engine, monkeypatch):
     assert calls["group"] == 1
     assert got == expected
     assert not bool(np.asarray(cb.state.active).any())
+
+
+def test_continuous_kv_quant_matches_batch_kv_quant(engine, monkeypatch):
+    """A kv_quant decoder config selects the int8 slot cache (SlotStateQ);
+    the continuous engine's texts must match the batch engine running the
+    same kv_quant config, with and without speculation."""
+    import dataclasses
+
+    from crab_tpu.lm.cb import SlotStateQ
+    from crab_tpu.tasks import registry
+
+    task = _task("tiny-cb-q")
+    monkeypatch.setitem(registry.TASKS, "tiny-cb-q", task)
+    rng = np.random.default_rng(17)
+    samples = [
+        {"question": "what sounds first", "_media": _media(rng)},
+        {"question": "who is playing the long instrument over there",
+         "_media": _media(rng)},
+    ]
+    qcfg = dataclasses.replace(
+        CFG, decoder=dataclasses.replace(CFG.decoder, kv_quant=True)
+    )
+    q_engine = InferenceEngine(
+        qcfg, engine.params, StubTokenizer(SPECIAL), SPECIAL, eos_id=399,
+        seq_bucket=32, pack=False,
+    )
+    expected = [q_engine.run("tiny-cb-q", [s]).texts[0] for s in samples]
+
+    reqs = [{"task": "tiny-cb-q", "sample": s} for s in samples]
+    cb = ContinuousEngine(q_engine, slots=2, max_len=256, chunk=3)
+    assert isinstance(cb.state, SlotStateQ)
+    assert cb.run(reqs) == expected
+    spec = ContinuousEngine(q_engine, slots=2, max_len=256, chunk=3, spec_k=3)
+    assert spec.run(reqs) == expected

@@ -252,3 +252,56 @@ def test_batch_composition_invariance(engine, monkeypatch):
     for i, s in enumerate(samples):
         solo = engine.run("tiny-compose", [s])
         np.testing.assert_array_equal(solo.tokens[0], batch.tokens[i])
+
+
+def test_spec_k_engine_parity(engine, monkeypatch):
+    """InferenceEngine(spec_k=4) is bit-identical to the plain engine on
+    the batch path (NTP + AVS), and rejects incompatible configs."""
+    import dataclasses
+
+    from crab_tpu.tasks import registry
+    from crab_tpu.runtime.model import init_crab as _init
+
+    ntp = _tiny_av_task("tiny-spec-ntp")
+    avs = _tiny_av_task("tiny-spec-avs", is_avs=True)
+    monkeypatch.setitem(registry.TASKS, "tiny-spec-ntp", ntp)
+    monkeypatch.setitem(registry.TASKS, "tiny-spec-avs", avs)
+    rng = np.random.default_rng(41)
+    samples = [{"_media": _media(rng)} for _ in range(2)]
+
+    spec_eng = InferenceEngine(
+        CFG, engine.params, StubTokenizer(SPECIAL), SPECIAL, eos_id=399,
+        seq_bucket=32, pack=False, spec_k=4,
+    )
+    ref = engine.run("tiny-spec-ntp", samples)
+    got = spec_eng.run("tiny-spec-ntp", samples)
+    np.testing.assert_array_equal(got.tokens, ref.tokens)
+    assert got.texts == ref.texts
+
+    ref_avs = engine.run("tiny-spec-avs", samples[:1])
+    got_avs = spec_eng.run("tiny-spec-avs", samples[:1])
+    np.testing.assert_array_equal(got_avs.tokens, ref_avs.tokens)
+    np.testing.assert_array_equal(got_avs.mask_found, ref_avs.mask_found)
+    np.testing.assert_allclose(
+        got_avs.masks, ref_avs.masks, rtol=2e-4, atol=2e-4
+    )
+
+    with pytest.raises(ValueError):
+        InferenceEngine(
+            CFG, engine.params, StubTokenizer(SPECIAL), SPECIAL,
+            eos_id=399, temperature=0.7, spec_k=2,
+        )
+    # kv_quant + spec_k composes: spec_generate runs over the int8 slot
+    # cache and must match the plain kv_quant engine's tokens
+    qcfg = dataclasses.replace(
+        CFG, decoder=dataclasses.replace(CFG.decoder, kv_quant=True)
+    )
+    q_ref = InferenceEngine(
+        qcfg, engine.params, StubTokenizer(SPECIAL), SPECIAL,
+        eos_id=399, seq_bucket=32, pack=False,
+    ).run("tiny-spec-ntp", samples)
+    q_spec = InferenceEngine(
+        qcfg, engine.params, StubTokenizer(SPECIAL), SPECIAL,
+        eos_id=399, seq_bucket=32, pack=False, spec_k=4,
+    ).run("tiny-spec-ntp", samples)
+    np.testing.assert_array_equal(q_spec.tokens, q_ref.tokens)

@@ -130,6 +130,120 @@ def test_draft_lookup_semantics():
     np.testing.assert_array_equal(np.asarray(d3), [[-1, -1]])
 
 
+@pytest.mark.parametrize("spec_k", [1, 4])
+def test_spec_generate_matches_generate(params, spec_k):
+    """Whole-batch speculative generate is bit-identical to the plain
+    lax.while_loop generate: tokens, counts, and the hidden rows the AVS
+    head would gather (positions < num_generated)."""
+    from crab_tpu.lm.generate import generate
+    from crab_tpu.lm.spec import spec_generate
+
+    rows = [PROMPTS[0], PROMPTS[1], PROMPTS[2]]
+    T = max(len(r) for r in rows)
+    B = len(rows)
+    ids = np.zeros((B, T), np.int32)
+    mask = np.zeros((B, T), np.int32)
+    for i, r in enumerate(rows):  # left pad
+        ids[i, T - len(r):] = r
+        mask[i, T - len(r):] = 1
+    pos = np.maximum(np.cumsum(mask, -1) - 1, 0).astype(np.int32)
+    emb = jnp.take(params["embed"], jnp.asarray(ids), axis=0).astype(
+        jnp.float32
+    ) * mask[..., None]
+    hist = np.where(mask > 0, ids, -1).astype(np.int32)
+
+    ref = generate(
+        params, CFG, emb, jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=18, eos_id=EOS,
+    )
+    got = spec_generate(
+        params, CFG, emb, jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=18, eos_id=EOS, spec_k=spec_k,
+        prompt_hist=jnp.asarray(hist),
+    )
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(
+        np.asarray(got.num_generated), np.asarray(ref.num_generated)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.prefill_logits), np.asarray(ref.prefill_logits),
+        rtol=2e-5, atol=2e-5,
+    )
+    # hidden rows are defined for 1 <= j < num_generated (j = 0 is the
+    # never-written zero row; rows past a sequence's finish are scratch)
+    h_ref = np.asarray(ref.hidden)
+    h_got = np.asarray(got.hidden)
+    for b in range(B):
+        n = int(np.asarray(ref.num_generated)[b])
+        np.testing.assert_allclose(
+            h_got[b, 1:n], h_ref[b, 1:n], rtol=2e-4, atol=2e-4
+        )
+
+
+def test_spec_generate_quant_matches_quant_generate(params):
+    """kv_quant spec_generate (SlotStateQ + windowed int8 attention) emits
+    exactly what the plain kv_quant generate emits — speculation changes
+    how many tokens one forward produces, never which tokens."""
+    import dataclasses
+
+    from crab_tpu.lm.generate import generate
+    from crab_tpu.lm.spec import spec_generate
+
+    qcfg = dataclasses.replace(CFG, kv_quant=True)
+    rows = PROMPTS
+    T = max(len(r) for r in rows)
+    B = len(rows)
+    ids = np.zeros((B, T), np.int32)
+    mask = np.zeros((B, T), np.int32)
+    for i, r in enumerate(rows):
+        ids[i, T - len(r):] = r
+        mask[i, T - len(r):] = 1
+    pos = np.maximum(np.cumsum(mask, -1) - 1, 0).astype(np.int32)
+    emb = jnp.take(params["embed"], jnp.asarray(ids), axis=0).astype(
+        jnp.float32
+    ) * mask[..., None]
+    hist = np.where(mask > 0, ids, -1).astype(np.int32)
+
+    ref = generate(
+        params, qcfg, emb, jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=14, eos_id=EOS,
+    )
+    got = spec_generate(
+        params, qcfg, emb, jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=14, eos_id=EOS, spec_k=3,
+        prompt_hist=jnp.asarray(hist),
+    )
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(
+        np.asarray(got.num_generated), np.asarray(ref.num_generated)
+    )
+
+
+def test_spec_chunk_quant_matches_plain_chunk_quant(params):
+    """SlotStateQ spec chunks = SlotStateQ plain chunks, including across
+    chunk boundaries (quantized rows of rejected drafts get overwritten)."""
+    from crab_tpu.lm.cb import SlotStateQ
+
+    def q_state():
+        state = SlotStateQ.zeros(CFG, len(PROMPTS), 96)
+        for slot, ids in enumerate(PROMPTS):
+            ids_j = jnp.asarray(ids, jnp.int32)[None, :]
+            emb = jnp.take(params["embed"], ids_j[0], axis=0)[None].astype(
+                jnp.float32
+            )
+            mask = jnp.ones_like(ids_j)
+            pos = jnp.cumsum(mask, -1) - 1
+            k, v, first, next_pos = cb_prefill(params, CFG, emb, mask, pos)
+            state = deposit(state, slot, k, v, mask, first, next_pos, ids_j)
+        return state
+
+    a, b = q_state(), q_state()
+    for _ in range(3):
+        a, out_a, _ = cb_decode_chunk(params, CFG, a, 7, EOS)
+        b, out_b, _, _ = spec_decode_chunk(params, CFG, b, 7, EOS, spec_k=3)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
 def test_spec_through_continuous_engine(monkeypatch):
     """Engine-level parity: ContinuousEngine(spec_k=4) returns exactly the
     plain engine's texts, and rejects sampling engines."""
