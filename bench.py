@@ -315,7 +315,11 @@ def main():
             # the arena so even the batch-16 retry OOMs. Don't probe
             # sizes above the known-good BATCH here.
             b500 = None
-            attempts = sorted({BATCH, 8}, reverse=True)
+            # cap the batched 500-token attempt at 16: the known-good
+            # full-budget batch (batch 20 OOM'd AND poisoned the arena so
+            # the retry OOM'd too — see above). A raised CRAB_BENCH_BATCH
+            # affects only the 64-token serving row.
+            attempts = sorted({min(BATCH, 16), 8}, reverse=True)
             for attempt in attempts:
                 try:
                     t1 = time.time()

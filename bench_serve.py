@@ -242,14 +242,23 @@ def main():
         t0 = time.time()
         cb.run_requests(trace)
         wall = time.time() - t0
-        lat = np.asarray([finish[i] - t0 for i in range(N_REQ)])
+        # a request that failed mid-run (fail() skips _finish) has no
+        # finish time — report the failure count instead of crashing the
+        # whole measured row at the very end
+        lat = np.asarray([finish[i] - t0 for i in range(N_REQ) if i in finish])
         row = {
             "engine": name,
-            "requests_per_s": round(N_REQ / wall, 3),
-            "p50_finish_s": round(float(np.percentile(lat, 50)), 2),
-            "p99_finish_s": round(float(np.percentile(lat, 99)), 2),
+            "requests_per_s": round(len(lat) / wall, 3),
+            "p50_finish_s": (
+                round(float(np.percentile(lat, 50)), 2) if len(lat) else None
+            ),
+            "p99_finish_s": (
+                round(float(np.percentile(lat, 99)), 2) if len(lat) else None
+            ),
             "wall_s": round(wall, 2),
         }
+        if len(lat) < N_REQ:
+            row["failed_requests"] = N_REQ - len(lat)
         if spec_k:
             # both runs' acceptances accumulate; halve for a per-run figure
             row["spec_accepted_per_run"] = cb.spec_accepted // 2

@@ -59,8 +59,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0, help="sampling seed")
     p.add_argument("--spec-k", type=int, default=0,
                    help="self-speculative decoding: verify N history-"
-                        "drafted tokens per forward (greedy only, bf16 KV,"
-                        " token-identical; lm/spec.py)")
+                        "drafted tokens per forward (greedy only; composes"
+                        " with --kv-quant; token-identical; lm/spec.py)")
     args = p.parse_args(argv)
 
     from crab_tpu.runtime.engine import InferenceEngine

@@ -71,8 +71,11 @@ def sample_logits(
         cum = jnp.cumsum(probs, axis=-1)
         # keep tokens whose *exclusive* cumulative mass is < top_p, so the
         # token that crosses the boundary stays (HF semantics: smallest set
-        # with mass >= top_p); the argmax token always survives.
+        # with mass >= top_p); the argmax token always survives — pinned
+        # explicitly so top_p == 0.0 means "keep only the top token"
+        # rather than masking everything and sampling uniformly.
         keep = (cum - probs) < top_p
+        keep = keep.at[..., 0].set(True)
         thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True)
         scaled = jnp.where(scaled < thresh, -1e9, scaled)
     return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)

@@ -188,6 +188,43 @@ def _proj(p, x, lora_cfg, dropout_rng=None, route_out=False, a8=False):
     return y
 
 
+def decode_qkv_proj(layer_params, h, cfg):
+    """q/k/v for the slot decode loops (cb_decode_chunk / spec verify) —
+    packed or canonical layout, flat (N, T, qd|kvd) outputs. Inference
+    only: no dropout keys, no route telemetry, no a8 (the decode loops
+    are bandwidth-bound; W8A8 pays only at prefill widths). The training/
+    prefill path in ``llama_apply`` keeps its own richer variant."""
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    if "qkv" in layer_params:
+        from crab_tpu.lm.pack import packed_proj
+
+        qkv, _ = packed_proj(layer_params["qkv"], h, cfg.lora, 3)
+        return qkv[..., :qd], qkv[..., qd: qd + kvd], qkv[..., qd + kvd:]
+    return (
+        _proj(layer_params["q"], h, cfg.lora),
+        _proj(layer_params["k"], h, cfg.lora),
+        _proj(layer_params["v"], h, cfg.lora),
+    )
+
+
+def decode_mlp_block(layer_params, x, cfg):
+    """Post-attention residual MLP for the slot decode loops:
+    x + down(silu(gate) * up), packed or canonical. Same inference-only
+    scope as ``decode_qkv_proj``."""
+    h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
+    if "gu" in layer_params:
+        from crab_tpu.lm.pack import packed_proj
+
+        gu, _ = packed_proj(layer_params["gu"], h, cfg.lora, 2)
+        I = cfg.intermediate_size
+        gate, up = gu[..., :I], gu[..., I:]
+    else:
+        gate = _proj(layer_params["gate"], h, cfg.lora)
+        up = _proj(layer_params["up"], h, cfg.lora)
+    return x + _proj(layer_params["down"], jax.nn.silu(gate) * up, cfg.lora)
+
+
 def _rope(pos_ids, head_dim, theta, dtype):
     """cos/sin tables for the given positions, fp32. pos_ids (B, T)."""
     inv_freq = 1.0 / (

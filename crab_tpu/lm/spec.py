@@ -53,6 +53,8 @@ from crab_tpu.lm.llama import (
     _attention,
     _proj,
     _rope,
+    decode_mlp_block,
+    decode_qkv_proj,
     llama_apply,
     lm_head_logits,
 )
@@ -141,23 +143,8 @@ def spec_decode_chunk(
         def layer_fn(carry_l, inputs):
             x, *kv_bufs = carry_l
             layer_params, layer_idx = inputs
-            packed = "qkv" in layer_params
             h = rms_norm(layer_params["attn_norm"], x, cfg.rms_norm_eps)
-            qd = cfg.num_heads * cfg.head_dim
-            kvd = cfg.num_kv_heads * cfg.head_dim
-            if packed:
-                from crab_tpu.lm.pack import packed_proj
-
-                qkv, _ = packed_proj(layer_params["qkv"], h, cfg.lora, 3)
-                q, k, v = (
-                    qkv[..., :qd],
-                    qkv[..., qd: qd + kvd],
-                    qkv[..., qd + kvd:],
-                )
-            else:
-                q = _proj(layer_params["q"], h, cfg.lora)
-                k = _proj(layer_params["k"], h, cfg.lora)
-                v = _proj(layer_params["v"], h, cfg.lora)
+            q, k, v = decode_qkv_proj(layer_params, h, cfg)
             q = q.reshape(N, T, cfg.num_heads, cfg.head_dim)
             k = k.reshape(N, T, cfg.num_kv_heads, cfg.head_dim)
             v = v.reshape(N, T, cfg.num_kv_heads, cfg.head_dim)
@@ -194,19 +181,8 @@ def spec_decode_chunk(
                     q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads
                 )
                 kv_bufs = [kc, vc]
-            o = _proj(layer_params["o"], attn, cfg.lora)
-            x = x + o
-            h = rms_norm(layer_params["mlp_norm"], x, cfg.rms_norm_eps)
-            if packed:
-                gu, _ = packed_proj(layer_params["gu"], h, cfg.lora, 2)
-                I = cfg.intermediate_size
-                gate, up = gu[..., :I], gu[..., I:]
-            else:
-                gate = _proj(layer_params["gate"], h, cfg.lora)
-                up = _proj(layer_params["up"], h, cfg.lora)
-            x = x + _proj(
-                layer_params["down"], jax.nn.silu(gate) * up, cfg.lora
-            )
+            x = x + _proj(layer_params["o"], attn, cfg.lora)
+            x = decode_mlp_block(layer_params, x, cfg)
             return (x, *kv_bufs), None
 
         init_bufs = (

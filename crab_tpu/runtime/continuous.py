@@ -109,7 +109,7 @@ class ContinuousEngine:
                 " lossless speculation verifies argmax tokens; sampled"
                 " distributions would need rejection sampling"
             )
-        self._accepted_dev = jnp.zeros((), jnp.int32)
+        self._accepted = 0
         self._dtype = engine._dtype
         # cfg.decoder.kv_quant selects the int8 slot cache (SlotStateQ):
         # half the cache HBM per slot, tokens identical to the batch
@@ -372,9 +372,9 @@ class ContinuousEngine:
 
     @property
     def spec_accepted(self) -> int:
-        """Total drafted-and-accepted tokens so far (spec_k mode). Forces
-        one device sync — read it between runs, not mid-stream."""
-        return int(np.asarray(self._accepted_dev))
+        """Drafted-and-accepted tokens harvested so far (spec_k mode),
+        clamped per slot per chunk to tokens the host actually kept."""
+        return self._accepted
 
     def _finish(self, req: _Request):
         req.done = True
@@ -446,11 +446,11 @@ class ContinuousEngine:
             res = self._chunk_fn(
                 self.engine.params, self.state, self.engine._next_key(), capture
             )
+            acc = None
             if self.spec_k:
                 self.state, out, emitted, acc = res[:4]
                 hid = np.asarray(res[4]) if capture else None
-                # lazy device-side accumulation — no extra sync per chunk
-                self._accepted_dev = self._accepted_dev + jnp.sum(acc)
+                acc = np.asarray(acc)  # rides the same sync as `out`
             elif capture:
                 self.state, out, emitted, hid = res
                 hid = np.asarray(hid)
@@ -469,6 +469,14 @@ class ContinuousEngine:
                         or len(req.tokens) >= req.max_new
                     ):
                         break
+                if acc is not None:
+                    # telemetry clamp: tokens emitted past a request's
+                    # max_new are discarded in the loop above, so the
+                    # device-side acceptance count would overstate what
+                    # speculation actually delivered on budget-crossing
+                    # chunks — count at most the kept tokens minus the
+                    # one non-drafted token per verify forward
+                    self._accepted += int(min(acc[s], max(taken - 1, 0)))
                 if req.is_avs and hid is not None and taken:
                     req.hiddens.append(hid[s, :taken])
                 if req.tokens and (

@@ -340,6 +340,13 @@ def test_sample_logits_nucleus():
     a = sample_logits(logits, k, temperature=1.0)
     b = sample_logits(logits, k, temperature=1.0, top_p=1.0)
     assert int(a[0]) == int(b[0])
+    # top_p=0.0 exactly keeps the top token (NOT "mask everything and
+    # sample uniformly": the first element's exclusive mass is 0.0, which
+    # is not < 0.0, so without the explicit keep-argmax pin every logit
+    # would be masked)
+    zero = {int(sample_logits(logits, jax.random.PRNGKey(i), 1.0,
+                              top_p=0.0)[0]) for i in range(50)}
+    assert zero == {0}
 
 
 def test_lora_dropout_train_vs_eval():
