@@ -128,6 +128,20 @@ def test_draft_lookup_semantics():
                         jnp.int32)
     d3 = draft_lookup(hist3, jnp.asarray([4]), jnp.asarray([6]), 2)
     np.testing.assert_array_equal(np.asarray(d3), [[-1, -1]])
+    # trigram preference: suffix is (1, 2, 3); bigram (2, 3) matches most
+    # recently at j=6 (continuation 9, 9) but the full trigram matched at
+    # j=1 (hist[0]=1) — the longer-context match wins despite being older
+    hist4 = jnp.asarray(
+        [[1, 2, 3, 4, 5, 7, 2, 3, 9, 9, 1, 2, -1, -1, -1, -1]], jnp.int32
+    )
+    d4 = draft_lookup(hist4, jnp.asarray([12]), jnp.asarray([3]), 3)
+    np.testing.assert_array_equal(np.asarray(d4), [[4, 5, 7]])
+    # and when no trigram occurrence exists, bigram still drafts
+    hist5 = jnp.asarray(
+        [[8, 2, 3, 4, 5, 7, 6, 3, 9, 9, 1, 2, -1, -1, -1, -1]], jnp.int32
+    )
+    d5 = draft_lookup(hist5, jnp.asarray([12]), jnp.asarray([3]), 3)
+    np.testing.assert_array_equal(np.asarray(d5), [[4, 5, 7]])
 
 
 @pytest.mark.parametrize("spec_k", [1, 4])
