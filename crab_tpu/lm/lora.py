@@ -51,6 +51,25 @@ def moe_lora_delta(
     like the reference's ``lora_B(lora_A(lora_dropout(x)))`` with the
     route outside the dropout (peft_hyper/tuners/lora.py:349-350).
     """
+    if "RA" in p:
+        # fused serving layout (lm/pack.py): route and A share one matmul
+        # over x, experts are a flattened (E*r, out) matrix. Inference
+        # only — LoRA dropout needs the separate-A canonical layout.
+        assert dropout_rng is None, "fused RA layout is inference-only"
+        E = cfg.num_experts
+        lead = x.shape[:-1]
+        ra = x @ p["RA"].astype(x.dtype)  # (..., E + r), one matmul
+        route = jax.nn.softmax(
+            ra[..., :E].astype(jnp.float32), axis=-1
+        ).astype(x.dtype)
+        a = ra[..., E:]
+        weighted = (route[..., :, None] * a[..., None, :]).reshape(
+            *lead, E * cfg.rank
+        )
+        delta = (weighted @ p["Bd"].astype(x.dtype)) * cfg.scaling
+        if return_route:
+            return delta, route
+        return delta
     route = jax.nn.softmax(
         (x @ p["route"].astype(x.dtype)).astype(jnp.float32), axis=-1
     ).astype(x.dtype)  # (..., E)

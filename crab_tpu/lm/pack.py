@@ -43,6 +43,29 @@ def _delete_buffers(tree) -> None:
                 pass  # committed to multiple shardings / already deleted
 
 
+def blockdiag_experts(stacked: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Member expert tensors [(L, E, r, out_i)] -> ONE block-diagonal
+    (L, n*E*r, sum out_i) matrix: rows = (member, expert, rank) flattened,
+    cols = concatenated member outputs, zeros off-block. The packed LoRA
+    delta becomes a single matmul whose output lands directly in packed
+    column order — no per-member einsum, no (.., n, out) -> (.., n*out)
+    reshape copy. Bit-exact vs the stacked einsum: inserted zeros are
+    exact under the MXU's sequential fp32 accumulation and each member's
+    real terms keep their (e, r) order. Handles GQA (different out_i)."""
+    n = len(stacked)
+    L, E, r = stacked[0].shape[:3]
+    outs = [b.shape[-1] for b in stacked]
+    blocks = []
+    for i, b in enumerate(stacked):
+        row = [
+            jnp.zeros((L, E * r, outs[j]), b.dtype) if j != i
+            else b.reshape(L, E * r, outs[i])
+            for j in range(n)
+        ]
+        blocks.append(jnp.concatenate(row, axis=-1))
+    return jnp.concatenate(blocks, axis=1)
+
+
 def _pack_group(members: Sequence[Dict], donate: bool = False) -> Dict:
     """Concatenate a group of projection params along the output axis.
 
@@ -70,14 +93,7 @@ def _pack_group(members: Sequence[Dict], donate: bool = False) -> Dict:
                 axis=-1,
             ),
         }
-        outs = {l["B"].shape[-1] for l in loras}
-        if len(outs) == 1:
-            # uniform expert out-dim (LLaMA): one stacked (L, n, E, r, out)
-            packed["B"] = jnp.stack([l["B"] for l in loras], axis=1)
-        else:
-            # GQA (Qwen2): per-member expert tensors, contracted separately
-            for i, l in enumerate(loras):
-                packed[f"B{i}"] = l["B"]
+        packed["Bd"] = blockdiag_experts([l["B"] for l in loras])
         out["lora"] = packed
     if donate:
         # free the source buffers group-by-group so packing a 7B on a
@@ -112,6 +128,22 @@ def pack_decoder(
     }
     new_layers["qkv"] = _pack_group([layers[n] for n in _ATTN], donate)
     new_layers["gu"] = _pack_group([layers[n] for n in _MLP], donate)
+    # o/down keep their canonical weights but get the same LoRA fusion:
+    # route+A in one matmul, experts as one flattened matrix (the
+    # separate skinny route/A convs were 2 extra passes over x per
+    # projection per layer; lm/lora.moe_lora_delta handles both layouts)
+    for name in ("o", "down"):
+        lp = new_layers.get(name, {}).get("lora")
+        if lp is not None and "route" in lp:
+            L, E, r = lp["B"].shape[0], lp["B"].shape[1], lp["B"].shape[2]
+            fused = {
+                "RA": jnp.concatenate([lp["route"], lp["A"]], axis=-1),
+                "Bd": lp["B"].reshape(L, E * r, -1),
+            }
+            new_layers[name] = dict(new_layers[name])
+            new_layers[name]["lora"] = fused
+            if donate:
+                _delete_buffers(lp)
     out = dict(decoder_params)
     out["layers"] = new_layers
     return out
@@ -140,21 +172,8 @@ def packed_proj(p: Dict, x: jnp.ndarray, lora_cfg, n: int, a8: bool = False):
         ).astype(x.dtype)
         a = ra[..., n * E :].reshape(*lead, n, r)
         weighted = routes[..., None] * a[..., None, :]  # (..., n, E, r) tiny
-        if "B" in lp:
-            delta = jnp.einsum(
-                "...ner,nerd->...nd", weighted, lp["B"].astype(x.dtype)
-            ).reshape(*lead, -1)
-        else:
-            delta = jnp.concatenate(
-                [
-                    jnp.einsum(
-                        "...er,erd->...d",
-                        weighted[..., i, :, :],
-                        lp[f"B{i}"].astype(x.dtype),
-                    )
-                    for i in range(n)
-                ],
-                axis=-1,
-            )
+        # one matmul against the block-diagonal expert matrix: output is
+        # already in packed column order (see _pack_group)
+        delta = weighted.reshape(*lead, n * E * r) @ lp["Bd"].astype(x.dtype)
         y = y + delta * lora_cfg.scaling
     return y, routes

@@ -239,21 +239,23 @@ def init_llama_w4(key, cfg, dtype=jnp.bfloat16, group: int = 128) -> Dict:
                         -1,
                     ),
                 }
-                outs = {s["B"].shape[-1] for s in stacked}
-                if len(outs) == 1:
-                    lora["B"] = jnp.stack([s["B"] for s in stacked], axis=1)
-                else:
-                    for m, s in enumerate(stacked):
-                        lora[f"B{m}"] = s["B"]
+                from crab_tpu.lm.pack import blockdiag_experts
+
+                lora["Bd"] = blockdiag_experts([s["B"] for s in stacked])
                 p["lora"] = lora
             else:
                 loras = [
                     init_moe_lora(jax.random.fold_in(kk, 7 + l), din, dout, cfg.lora, dtype)
                     for l in range(L)
                 ]
-                p["lora"] = jax.tree_util.tree_map(
+                st = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *loras
                 )
+                # same fused serving layout pack_decoder emits for o/down
+                p["lora"] = {
+                    "RA": jnp.concatenate([st["route"], st["A"]], axis=-1),
+                    "Bd": st["B"].reshape(L, -1, dout),
+                }
         layers[name] = p
     ks = jax.random.split(key, 2)
     return {

@@ -58,7 +58,8 @@ def decoder_layer_specs(fsdp: bool = True) -> Dict[str, Any]:
 
     # packed serving layout (lm/pack.py): column-parallel like its members
     # (output channels are independent, so the concat boundary need not
-    # align with the model-axis shards); packed lora B is (L, n, E, r, out)
+    # align with the model-axis shards); packed lora experts are one
+    # block-diagonal Bd (L, n*E*r, sum_out) — see lm/pack.blockdiag_experts
     packed = {
         "w": col,
         "w_q": col,
@@ -70,10 +71,9 @@ def decoder_layer_specs(fsdp: bool = True) -> Dict[str, Any]:
             "RA": P(),  # fused route+A (tiny; replicated like its parts)
             "route": P(),
             "A": P(),
-            "B": P(None, None, None, None, "model"),
-            "B0": P(None, None, None, "model"),
-            "B1": P(None, None, None, "model"),
-            "B2": P(None, None, None, "model"),
+            # block-diagonal experts (L, n*E*r, sum_out): column-parallel
+            # like 'w' (each output column is an independent dot)
+            "Bd": P(None, None, "model"),
         },
     }
 

@@ -27,7 +27,7 @@ CFG = DecoderConfig(
     intermediate_size=128,
     num_layers=3,
     num_heads=4,
-    num_kv_heads=2,  # GQA: exercises the non-uniform B0/B1/B2 branch
+    num_kv_heads=2,  # GQA: non-uniform member widths in the Bd blocks
     head_dim=16,
     max_position_embeddings=256,
     lora=LORA,
@@ -129,7 +129,7 @@ def test_pack_idempotent_and_train_guard():
 
 def test_packed_qwen_like_bias_gqa():
     """Qwen2 shape: GQA + qkv bias — packed bias concat and per-member
-    B0/B1/B2 expert tensors must be token-identical too."""
+    non-uniform block-diagonal Bd must be token-identical too."""
     cfg = dataclasses.replace(CFG, attention_bias=True, rope_theta=1e6)
     params = _params_with_lora(cfg, key=21)
     # give the biases nonzero values so the concat actually matters

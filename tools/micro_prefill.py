@@ -23,7 +23,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from crab_tpu.core.config import crab_7b
-from crab_tpu.lm.llama import KVCacheQ, llama_apply
+from crab_tpu.lm.llama import KVCache, KVCacheQ, llama_apply
 from crab_tpu.lm.pack import pack_decoder
 from crab_tpu.lm.quant import init_llama_int8
 
@@ -31,10 +31,12 @@ B = int(_os.environ.get("PF_B", "16"))
 T = int(_os.environ.get("PF_T", "768"))
 
 
-def measure(a8: bool):
+def measure(a8: bool, lora: bool = True, kvq: bool = True):
     cfg = dataclasses.replace(
-        crab_7b().decoder, kv_quant=True, int8_activations=a8
+        crab_7b().decoder, kv_quant=kvq, int8_activations=a8
     )
+    if not lora:
+        cfg = dataclasses.replace(cfg, lora=None)
     params = jax.jit(lambda k: init_llama_int8(k, cfg))(jax.random.PRNGKey(0))
     params = pack_decoder(params, cfg, donate=True)
     emb = jax.jit(
@@ -47,7 +49,8 @@ def measure(a8: bool):
     def chain(n):
         def fn(p, e):
             def body(i, acc):
-                cache = KVCacheQ.zeros(cfg, B, T, e.dtype)
+                cache_cls = KVCacheQ if kvq else KVCache
+                cache = cache_cls.zeros(cfg, B, T, e.dtype)
                 logits, _, _, _ = llama_apply(
                     p, cfg, e + (acc * 0).astype(e.dtype),
                     attention_mask=mask, position_ids=pos, cache=cache,
@@ -69,13 +72,25 @@ def measure(a8: bool):
     ms = (t6 - t2) / 4.0 * 1000
     tflop = 2 * 7.0e9 * B * T / 1e12
     print(
-        f"a8={a8}: prefill {ms:.0f} ms resident (B={B}, T={T}) "
-        f"-> {tflop / (ms / 1000):.0f} TFLOP/s effective"
+        f"a8={a8} lora={lora} kvq={kvq}: prefill {ms:.0f} ms resident "
+        f"(B={B}, T={T}) -> {tflop / (ms / 1000):.0f} TFLOP/s effective"
     )
     del params
     return ms
 
 
-m_bf = measure(False)
-m_a8 = measure(True)
-print(f"W8A8 speedup: {m_bf / m_a8:.2f}x")
+import json as _json
+grid = _os.environ.get(
+    "PF_GRID", "a8;bf16;a8-nolora;a8-bf16kv"
+).split(";")
+res = {}
+for g in grid:
+    if g == "a8":
+        res[g] = measure(True)
+    elif g == "bf16":
+        res[g] = measure(False)
+    elif g == "a8-nolora":
+        res[g] = measure(True, lora=False)
+    elif g == "a8-bf16kv":
+        res[g] = measure(True, kvq=False)
+print(_json.dumps({k: round(v, 1) for k, v in res.items()}))
