@@ -49,9 +49,11 @@ def blockdiag_experts(stacked: Sequence[jnp.ndarray]) -> jnp.ndarray:
     cols = concatenated member outputs, zeros off-block. The packed LoRA
     delta becomes a single matmul whose output lands directly in packed
     column order — no per-member einsum, no (.., n, out) -> (.., n*out)
-    reshape copy. Bit-exact vs the stacked einsum: inserted zeros are
-    exact under the MXU's sequential fp32 accumulation and each member's
-    real terms keep their (e, r) order. Handles GQA (different out_i)."""
+    reshape copy. vs the stacked einsum: inserted zeros contribute
+    nothing, so under the MXU's sequential fp32 accumulation the sums
+    are identical (CPU BLAS may tree-reduce the longer K differently —
+    rounding-level only; tests/test_pack.py pins token identity end to
+    end). Handles GQA (different out_i)."""
     n = len(stacked)
     L, E, r = stacked[0].shape[:3]
     outs = [b.shape[-1] for b in stacked]

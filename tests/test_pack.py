@@ -172,3 +172,36 @@ def test_packed_with_int8_kv_cache():
     r_ref = generate(params, cfg, emb, mask, pos, max_new_tokens=6, eos_id=-1)
     r_pkd = generate(packed, cfg, emb, mask, pos, max_new_tokens=6, eos_id=-1)
     np.testing.assert_array_equal(np.asarray(r_ref.tokens), np.asarray(r_pkd.tokens))
+
+
+def test_blockdiag_experts_exact():
+    """The block-diagonal expert matmul equals the per-member stacked
+    einsum — inserted zeros contribute nothing; on the MXU's sequential
+    accumulation the sums are identical, while CPU BLAS may tree-reduce
+    the longer K differently (rounding-level only). Includes GQA-style
+    members with different out widths."""
+    from crab_tpu.lm.pack import blockdiag_experts
+
+    rng = np.random.default_rng(0)
+    L, E, r, n_tok = 2, 3, 4, 5
+    outs = (16, 8, 8)  # non-uniform member widths
+    Bs = [
+        jnp.asarray(rng.standard_normal((L, E, r, o)).astype(np.float32))
+        for o in outs
+    ]
+    Bd = blockdiag_experts(Bs)
+    assert Bd.shape == (L, len(outs) * E * r, sum(outs))
+    weighted = jnp.asarray(
+        rng.standard_normal((n_tok, len(outs), E, r)).astype(np.float32)
+    )
+    got = weighted.reshape(n_tok, -1) @ Bd[0]
+    ref = jnp.concatenate(
+        [
+            jnp.einsum("ter,erd->td", weighted[:, i], Bs[i][0])
+            for i in range(len(outs))
+        ],
+        axis=-1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-6
+    )
