@@ -61,6 +61,10 @@ def main(argv=None):
                    help="self-speculative decoding: verify N history-"
                         "drafted tokens per forward (greedy only; composes"
                         " with --kv-quant; token-identical; lm/spec.py)")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler trace of the eval loop "
+                        "into this directory (XPlane; open with "
+                        "tensorboard or xprof)")
     args = p.parse_args(argv)
 
     from crab_tpu.runtime.engine import InferenceEngine
@@ -117,6 +121,13 @@ def main(argv=None):
     miou_sum = np.zeros(71)
     fsc_sum = np.zeros(71)
     cls_cnt = np.zeros(71)
+    import contextlib
+
+    prof = contextlib.ExitStack()
+    if args.profile_dir:
+        from crab_tpu.utils.diagnostics import trace
+
+        prof.enter_context(trace(args.profile_dir))
     t0 = time.time()
     if clip_mode:
         # depth-2 overlap: clip i+1's host prep + H2D run while the
@@ -186,6 +197,7 @@ def main(argv=None):
                     row["pred_mask"] = name
                 f.write(json.dumps(row) + "\n")
             sample_idx += len(batch)
+    prof.close()
     wall = time.time() - t0
     print(f"{len(records)} samples in {wall:.1f}s "
           f"({len(records)/max(wall,1e-9):.2f} clips/s)")

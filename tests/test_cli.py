@@ -60,9 +60,12 @@ def test_evaluate_cli(tmp_path):
     out = tmp_path / "eval"
     summary = main(
         ["--task", "ms3", "--annotations", str(annp), "--random-init", "--tiny",
-         "--out", str(out), "--batch-size", "2", "--score-unfound"]
+         "--out", str(out), "--batch-size", "2", "--score-unfound",
+         "--profile-dir", str(tmp_path / "prof")]
     )
     assert summary["n"] == 2
+    # --profile-dir captured an XPlane trace of the eval loop
+    assert any((tmp_path / "prof").rglob("*.xplane.pb"))
     assert "miou" in summary
     rows = [json.loads(l) for l in open(out / "infer_results.jsonl")]
     assert len(rows) == 2 and "fscore" in rows[0]
