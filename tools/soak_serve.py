@@ -1,0 +1,138 @@
+"""Serving soak: repeated waves through the continuous engine.
+
+Production concerns the one-shot benches can't see: token drift across
+engine reuse (slot-state leakage between waves), wall-time degradation
+(HBM fragmentation — observed on this chip when failed allocations
+poison the arena), and host-memory growth. This drives WAVES x N_REQ
+requests through one ContinuousEngine(pf=0, spec_k=4) instance and
+asserts:
+
+  - every wave's texts are identical to wave 1 (determinism + clean
+    slot retirement; greedy spec decoding is deterministic per config),
+  - no wave is > 1.5x slower than the fastest (fragmentation guard;
+    generous because the relay adds wall jitter),
+  - device memory stats (when the backend exposes them) do not grow
+    wave over wave.
+
+Run: python tools/soak_serve.py       (one TPU job at a time; ~5 min
+     after the serving-bench compile cache is warm)
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+WAVES = int(_os.environ.get("SOAK_WAVES", "5"))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    # reuse the serving bench's model + trace construction so the soak
+    # hits the exact compiled programs the bench already cached
+    import bench_serve as bs
+    import dataclasses
+    import jax.numpy as jnp
+    from crab_tpu.core.config import crab_7b
+    from crab_tpu.fusion.tokens import SpecialTokens
+    from crab_tpu.lm.quant import init_llama_int8
+    from crab_tpu.encoders.beats import init_beats
+    from crab_tpu.encoders.clip_vit import init_clip_vit
+    from crab_tpu.encoders.projectors import init_projector
+    from crab_tpu.runtime.engine import InferenceEngine
+    from crab_tpu.runtime.continuous import ContinuousEngine
+    from crab_tpu.tasks import registry
+
+    cfg = crab_7b().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
+    cfg = cfg.replace(
+        decoder=dataclasses.replace(cfg.decoder, int8_activations=True)
+    )
+    special = SpecialTokens(base_vocab=32000)
+
+    @jax.jit
+    def init_all(key):
+        ks = jax.random.split(key, 5)
+        return {
+            "vision": init_clip_vit(ks[0], cfg.vision, jnp.bfloat16),
+            "audio": init_beats(ks[1], cfg.audio, jnp.bfloat16),
+            "vl_projector": init_projector(
+                ks[2], cfg.vl_projector, cfg.decoder.hidden_size, jnp.bfloat16
+            ),
+            "al_projector": init_projector(
+                ks[3], cfg.al_projector, cfg.decoder.hidden_size, jnp.bfloat16
+            ),
+            "decoder": init_llama_int8(ks[4], cfg.decoder),
+        }
+
+    import zlib
+
+    class Tok:
+        def encode(self, text):
+            return [
+                special.token_to_id.get(
+                    w, 7 + (zlib.crc32(w.encode()) % 20000)
+                )
+                for w in text.replace(">", "> ").replace("<", " <").split()
+            ]
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    params = init_all(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    engine = InferenceEngine(
+        cfg, params, Tok(), special, eos_id=2, pad_id=0, pack_donate=True,
+    )
+    del params
+
+    q_tokens = registry.TASKS["avqa"]
+    registry.TASKS["bench-avqa"] = registry.TaskSpec(
+        "bench-avqa",
+        lambda s: registry.prompts.avqa_instruction(s["question"]),
+        lambda s: s["media"],
+        dict(q_tokens.feature_lens),
+        max_new_tokens=100,
+    )
+
+    rng = np.random.default_rng(bs.SEED)
+    trace = bs.build_trace(rng, bs.N_REQ)
+
+    cb = ContinuousEngine(engine, slots=8, max_len=1024, chunk=16, spec_k=4)
+
+    def mem_stats():
+        try:
+            s = jax.local_devices()[0].memory_stats()
+            return s.get("bytes_in_use")
+        except Exception:
+            return None
+
+    ref_texts = None
+    walls = []
+    mems = []
+    for w in range(WAVES):
+        t0 = time.time()
+        texts = cb.run(trace)
+        walls.append(time.time() - t0)
+        mems.append(mem_stats())
+        print(f"# wave {w}: {walls[-1]:.1f}s mem={mems[-1]}", file=_sys.stderr)
+        if ref_texts is None:
+            ref_texts = texts
+        else:
+            assert texts == ref_texts, f"wave {w} tokens drifted from wave 0"
+    timed = walls[1:]  # wave 0 pays compiles
+    assert max(timed) < 1.5 * min(timed), f"wall degradation: {timed}"
+    if mems[-1] is not None and mems[1] is not None:
+        assert mems[-1] <= mems[1] * 1.05, f"device memory growth: {mems}"
+    print(
+        f"SOAK OK: {WAVES} waves x {bs.N_REQ} requests, walls "
+        f"{[round(x,1) for x in walls]}, mem {mems[-1]}"
+    )
+
+
+if __name__ == "__main__":
+    main()
