@@ -157,6 +157,12 @@ def _base_proj(p, x, a8: bool = False):
     if "w_q" in p:  # weight-only int8 (lm/quant.py): scale in the epilogue
         if a8 and p["w_q"].dtype == jnp.int8:
             xq, xs = _quantize_act(x)
+            # NOTE the s32 conv output (1.98 GB at gu/B=16/T=768) round-
+            # trips HBM before the scale epilogue — XLA does not form a
+            # kOutput fusion here (it does for the weight-only path's
+            # single multiply). Measured: requesting an f32-typed dot to
+            # skip the convert is a wash (1046 vs 1045 ms prefill), so
+            # exact integer accumulation stays.
             y = jax.lax.dot_general(
                 xq,
                 p["w_q"],
