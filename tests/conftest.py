@@ -31,6 +31,17 @@ jax.config.update("jax_platforms", "cpu")
 # bf16 explicitly via the dtype Policy instead.
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compile cache for the CPU suite: most of the wall time is
+# XLA compilation of the same tiny-config programs run after run.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_cpu",
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import numpy as np
 import pytest
 
