@@ -103,6 +103,10 @@ def main(argv=None):
     p.add_argument("--train-lora", action="store_true",
                    help="stage-1: also train a decoder LoRA "
                         "(pretrain.py:92-109; off in the shipped .sh)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="collate N batches ahead on worker threads so "
+                        "host media decode overlaps the train step "
+                        "(0 = synchronous)")
     p.add_argument("--save-every", type=int, default=200)
     p.add_argument("--log-every", type=int, default=1)
     p.add_argument("--resume", default="", help="orbax checkpoint to resume")
@@ -221,7 +225,9 @@ def main(argv=None):
 
     global_step = int(state.step)
     for epoch in range(args.epochs):
-        for batch in task_batches(dataset, collator, args.batch_size):
+        for batch in task_batches(
+            dataset, collator, args.batch_size, prefetch=args.prefetch
+        ):
             is_avs = "gt_mask" in batch
             avss = bool(
                 is_avs and batch["gt_mask"].dtype in (np.int32, np.int64)

@@ -205,12 +205,19 @@ def task_batches(
     collator: TrainCollator,
     batch_size: int,
     pad_to: Optional[int] = None,
+    prefetch: int = 0,
 ) -> Iterator[Dict]:
     """Epoch iterator: shuffle, group by task, emit fixed-size batches.
 
     Grouping by task keeps shapes static per compiled program — the
     TPU-native replacement for the reference's modality-length-grouped
     sampler (``scripts/pretrain/trainer.py:129``).
+
+    ``prefetch`` > 0 collates up to that many batches ahead on worker
+    threads (media decode is cv2/C++-WAV, GIL-releasing) so host IO
+    overlaps the device's train step — the reference's 4-worker
+    DataLoader role. Batch contents and order are identical to the
+    synchronous path (the shuffle happens before dispatch).
     """
     by_task: Dict[str, List[TrainExample]] = {}
     for e in dataset.shuffled():
@@ -220,5 +227,13 @@ def task_batches(
         for i in range(0, len(items) - batch_size + 1, batch_size):
             chunks.append(items[i: i + batch_size])
     dataset._rng.shuffle(chunks)
-    for chunk in chunks:
-        yield collator(chunk, pad_to=pad_to)
+    if prefetch > 0:
+        from crab_tpu.runtime.loader import PrefetchLoader
+
+        yield from PrefetchLoader(
+            lambda c: collator(c, pad_to=pad_to), chunks,
+            depth=prefetch, workers=2,
+        )
+    else:
+        for chunk in chunks:
+            yield collator(chunk, pad_to=pad_to)

@@ -87,6 +87,28 @@ def test_collator_batches(annotations):
     assert kinds == {True, False}
 
 
+def test_task_batches_prefetch_identical(annotations):
+    """Prefetched collation yields the exact batches of the synchronous
+    path, in order (shuffle happens before dispatch, workers preserve
+    order)."""
+    import numpy as np
+
+    col = TrainCollator(StubTok(), SPECIAL, CFG)
+    sync = list(task_batches(TrainDataset(annotations, SPECIAL), col,
+                             batch_size=2))
+    pre = list(task_batches(TrainDataset(annotations, SPECIAL), col,
+                            batch_size=2, prefetch=3))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        assert set(a) == set(b)
+        for k in a:
+            if k == "media":
+                for m in a[k]:
+                    np.testing.assert_array_equal(a[k][m], b[k][m])
+            else:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_collator_feeds_train_step(annotations):
     """The collated batch drives the real jitted train step."""
     import jax
