@@ -329,3 +329,36 @@ def test_continuous_kv_quant_matches_batch_kv_quant(engine, monkeypatch):
     assert cb.run(reqs) == expected
     spec = ContinuousEngine(q_engine, slots=2, max_len=256, chunk=3, spec_k=3)
     assert spec.run(reqs) == expected
+
+
+def test_continuous_sharded_matches_unsharded(engine, monkeypatch):
+    """Multi-chip serving: the continuous engine over a TP=4/FSDP=2
+    sharded InferenceEngine produces the same texts as the unsharded
+    engine — GSPMD propagates through prefill, deposit, the chunk loop,
+    and retirement (the slot state starts unsharded; the compiler
+    inserts the collectives)."""
+    from crab_tpu.core.mesh import MeshSpec, make_mesh
+    from crab_tpu.tasks import registry
+
+    assert jax.device_count() >= 8
+    task = _task("tiny-cb-sh")
+    monkeypatch.setitem(registry.TASKS, "tiny-cb-sh", task)
+    rng = np.random.default_rng(23)
+    samples = [
+        {"question": "what instrument is sounding", "_media": _media(rng)},
+        {"question": "who is playing over there now and why is it loud",
+         "_media": _media(rng)},
+        {"question": "is it a drum", "_media": _media(rng)},
+    ]
+    reqs = [{"task": "tiny-cb-sh", "sample": s} for s in samples]
+    expected = ContinuousEngine(engine, slots=2, max_len=256, chunk=3).run(
+        reqs
+    )
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    sh_engine = InferenceEngine(
+        CFG, engine.params, StubTokenizer(SPECIAL), SPECIAL, eos_id=399,
+        seq_bucket=32, pack=False, mesh=mesh,
+    )
+    cb = ContinuousEngine(sh_engine, slots=2, max_len=256, chunk=3)
+    assert cb.run(reqs) == expected
