@@ -409,4 +409,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # the relay throws a transient FAILED_PRECONDITION right after a
+        # crashed TPU process; one retry clears it (verify-skill note)
+        if "FAILED_PRECONDITION" not in str(e):
+            raise
+        print(f"# transient {e!s:.120}; retrying once", file=sys.stderr)
+        time.sleep(10)
+        main()
