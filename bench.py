@@ -292,6 +292,32 @@ def main():
     print(f"# p50 {p50:.0f} ms  p99 {p99:.0f} ms (batch 1, "
           f"{MAX_NEW_TOKENS} tokens)", file=sys.stderr)
 
+    # speculative batch-1 latency: interactive serving's lever — each
+    # verify forward costs ~1.45x a weight read but emits several tokens
+    # on templated answers (measured p50 868 -> 531 ms on this row)
+    p50_spec = None
+    if SPEC_K:
+        try:
+            spec_lat_engine = InferenceEngine(
+                cfg, engine.params, BenchTokenizer(), special,
+                eos_id=2, pad_id=0, pack=False, spec_k=SPEC_K,
+            )
+            t1 = time.time()
+            spec_lat_engine.run("bench-avqa", samples[:1])
+            print(f"# spec batch-1 compile+first: {time.time()-t1:.1f}s",
+                  file=sys.stderr)
+            slats = []
+            for _ in range(lat_iters):
+                t1 = time.time()
+                spec_lat_engine.run("bench-avqa", samples[:1])
+                slats.append((time.time() - t1) * 1000)
+            p50_spec = float(np.percentile(slats, 50))
+            print(f"# spec p50 {p50_spec:.0f} ms (batch 1, "
+                  f"{MAX_NEW_TOKENS} tokens, k={SPEC_K})", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# spec p50 row failed ({e!s:.120}); skipped",
+                  file=sys.stderr)
+
     # ---- full-budget rows: the reference's max_new_tokens=500 ---------
     lat500 = None
     clips500 = None
@@ -387,6 +413,7 @@ def main():
         "vs_baseline": round(clips_per_sec / a100_anchor(MAX_NEW_TOKENS), 3),
         "p50_latency_ms": round(p50, 1),
         "p99_latency_ms": round(p99, 1),
+        **({"p50_latency_ms_spec": round(p50_spec, 1)} if p50_spec else {}),
         "stage_breakdown": breakdown,
         "clips_per_sec_by_decode_len": curve,
         "a100_anchor_by_decode_len": {
