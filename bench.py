@@ -296,24 +296,31 @@ def main():
     print(f"# p50 {p50:.0f} ms  p99 {p99:.0f} ms (batch 1, "
           f"{MAX_NEW_TOKENS} tokens)", file=sys.stderr)
 
+    # one speculative engine serves both spec rows (params shared with
+    # the packed main engine; pack=False — already packed)
+    spec_engine = (
+        InferenceEngine(
+            cfg, engine.params, BenchTokenizer(), special,
+            eos_id=2, pad_id=0, pack=False, spec_k=SPEC_K,
+        )
+        if SPEC_K
+        else None
+    )
+
     # speculative batch-1 latency: interactive serving's lever — each
     # verify forward costs ~1.45x a weight read but emits several tokens
     # on templated answers (measured p50 868 -> 531 ms on this row)
     p50_spec = None
-    if SPEC_K:
+    if spec_engine is not None:
         try:
-            spec_lat_engine = InferenceEngine(
-                cfg, engine.params, BenchTokenizer(), special,
-                eos_id=2, pad_id=0, pack=False, spec_k=SPEC_K,
-            )
             t1 = time.time()
-            spec_lat_engine.run("bench-avqa", samples[:1])
+            spec_engine.run("bench-avqa", samples[:1])
             print(f"# spec batch-1 compile+first: {time.time()-t1:.1f}s",
                   file=sys.stderr)
             slats = []
             for _ in range(lat_iters):
                 t1 = time.time()
-                spec_lat_engine.run("bench-avqa", samples[:1])
+                spec_engine.run("bench-avqa", samples[:1])
                 slats.append((time.time() - t1) * 1000)
             p50_spec = float(np.percentile(slats, 50))
             print(f"# spec p50 {p50_spec:.0f} ms (batch 1, "
@@ -375,17 +382,13 @@ def main():
                 clips500 = b500 / best
                 print(f"# 500-token batch-{b500}: {best:.1f} s/batch "
                       f"({clips500:.3f} clips/s)", file=sys.stderr)
-            if b500 is not None and SPEC_K:
+            if b500 is not None and spec_engine is not None:
                 # self-speculative row (lm/spec.spec_generate over the
                 # int8 slot cache): long repetitive decodes are exactly
                 # where n-gram drafting accepts, so the full-budget row
                 # is the one speculation moves. Greedy-lossless (every
                 # token is a real argmax; see lm/spec.py).
                 try:
-                    spec_engine = InferenceEngine(
-                        cfg, engine.params, BenchTokenizer(), special,
-                        eos_id=2, pad_id=0, pack=False, spec_k=SPEC_K,
-                    )
                     t1 = time.time()
                     spec_engine.run("bench-avqa-500", samples_all[:b500])
                     print(f"# 500-token spec_k={SPEC_K} compile+first: "

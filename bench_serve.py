@@ -69,7 +69,30 @@ def build_trace(rng, n):
     return trace
 
 
-def main():
+class BenchTokenizer:
+    """Deterministic stub tokenizer shared by the serving bench and the
+    soak test (tools/soak_serve.py)."""
+
+    def __init__(self, special):
+        self.special = special
+
+    def encode(self, text):
+        ids = []
+        for w in text.replace(">", "> ").replace("<", " <").split():
+            ids.append(
+                self.special.token_to_id.get(
+                    w, 7 + (zlib.crc32(w.encode()) % 20000)
+                )
+            )
+        return ids
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def serving_model():
+    """(cfg, special, params) for the 7B serving benches: bf16 encoders,
+    int8 decoder, W8A8 prefill, persistent compile cache."""
     import jax
 
     cache_dir = os.path.join(
@@ -83,16 +106,14 @@ def main():
 
     import dataclasses
 
+    import jax.numpy as jnp
+
     from crab_tpu.core.config import crab_7b
     from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.lm.quant import init_llama_int8
     from crab_tpu.encoders.beats import init_beats
     from crab_tpu.encoders.clip_vit import init_clip_vit
     from crab_tpu.encoders.projectors import init_projector
-    from crab_tpu.runtime.engine import InferenceEngine
-    from crab_tpu.runtime.continuous import ContinuousEngine
-    from crab_tpu.tasks import registry
-    import jax.numpy as jnp
 
     cfg = crab_7b().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
     cfg = cfg.replace(
@@ -119,23 +140,21 @@ def main():
     params = init_all(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     print(f"# init: {time.time()-t0:.1f}s", file=sys.stderr)
+    return cfg, special, params
 
-    class BenchTokenizer:
-        def encode(self, text):
-            ids = []
-            for w in text.replace(">", "> ").replace("<", " <").split():
-                ids.append(
-                    special.token_to_id.get(
-                        w, 7 + (zlib.crc32(w.encode()) % 20000)
-                    )
-                )
-            return ids
 
-        def decode(self, ids):
-            return " ".join(str(i) for i in ids)
+def main():
+    import jax
 
+    from crab_tpu.runtime.engine import InferenceEngine
+    from crab_tpu.runtime.continuous import ContinuousEngine
+    from crab_tpu.tasks import registry
+
+    import dataclasses
+
+    cfg, special, params = serving_model()
     engine = InferenceEngine(
-        cfg, params, BenchTokenizer(), special, eos_id=2, pad_id=0,
+        cfg, params, BenchTokenizer(special), special, eos_id=2, pad_id=0,
         pack_donate=True,
     )
     del params
@@ -199,7 +218,7 @@ def main():
         cfg.replace(
             decoder=dataclasses.replace(cfg.decoder, kv_quant=True)
         ),
-        engine.params, BenchTokenizer(), special, eos_id=2, pad_id=0,
+        engine.params, BenchTokenizer(special), special, eos_id=2, pad_id=0,
         pack=False,  # engine.params are already packed
     )
     cb = None

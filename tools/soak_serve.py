@@ -33,60 +33,18 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    # reuse the serving bench's model + trace construction so the soak
-    # hits the exact compiled programs the bench already cached
+    # reuse the serving bench's model, tokenizer, and trace construction
+    # so the soak hits the exact compiled programs the bench already
+    # cached
     import bench_serve as bs
-    import dataclasses
-    import jax.numpy as jnp
-    from crab_tpu.core.config import crab_7b
-    from crab_tpu.fusion.tokens import SpecialTokens
-    from crab_tpu.lm.quant import init_llama_int8
-    from crab_tpu.encoders.beats import init_beats
-    from crab_tpu.encoders.clip_vit import init_clip_vit
-    from crab_tpu.encoders.projectors import init_projector
     from crab_tpu.runtime.engine import InferenceEngine
     from crab_tpu.runtime.continuous import ContinuousEngine
     from crab_tpu.tasks import registry
 
-    cfg = crab_7b().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
-    cfg = cfg.replace(
-        decoder=dataclasses.replace(cfg.decoder, int8_activations=True)
-    )
-    special = SpecialTokens(base_vocab=32000)
-
-    @jax.jit
-    def init_all(key):
-        ks = jax.random.split(key, 5)
-        return {
-            "vision": init_clip_vit(ks[0], cfg.vision, jnp.bfloat16),
-            "audio": init_beats(ks[1], cfg.audio, jnp.bfloat16),
-            "vl_projector": init_projector(
-                ks[2], cfg.vl_projector, cfg.decoder.hidden_size, jnp.bfloat16
-            ),
-            "al_projector": init_projector(
-                ks[3], cfg.al_projector, cfg.decoder.hidden_size, jnp.bfloat16
-            ),
-            "decoder": init_llama_int8(ks[4], cfg.decoder),
-        }
-
-    import zlib
-
-    class Tok:
-        def encode(self, text):
-            return [
-                special.token_to_id.get(
-                    w, 7 + (zlib.crc32(w.encode()) % 20000)
-                )
-                for w in text.replace(">", "> ").replace("<", " <").split()
-            ]
-
-        def decode(self, ids):
-            return " ".join(str(i) for i in ids)
-
-    params = init_all(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
+    cfg, special, params = bs.serving_model()
     engine = InferenceEngine(
-        cfg, params, Tok(), special, eos_id=2, pad_id=0, pack_donate=True,
+        cfg, params, bs.BenchTokenizer(special), special, eos_id=2,
+        pad_id=0, pack_donate=True,
     )
     del params
 
