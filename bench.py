@@ -443,13 +443,18 @@ def main():
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001
-        # the relay throws a transient FAILED_PRECONDITION right after a
-        # crashed TPU process; one retry clears it (verify-skill note)
-        if "FAILED_PRECONDITION" not in str(e):
-            raise
-        print(f"# transient {e!s:.120}; retrying once", file=sys.stderr)
+    for attempt in (0, 1):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            # the relay throws a transient FAILED_PRECONDITION right
+            # after a crashed TPU process; one retry clears it
+            # (verify-skill note)
+            if attempt or "FAILED_PRECONDITION" not in str(e):
+                raise
+            print(f"# transient {e!s:.120}; retrying once", file=sys.stderr)
+            # drop the exception (and its traceback's references to the
+            # failed attempt's 7B buffers) BEFORE re-initializing
+            del e
         time.sleep(10)
-        main()

@@ -143,6 +143,22 @@ def serving_model():
     return cfg, special, params
 
 
+def register_bench_task(max_new: int = 100):
+    """Register the mixed-trace AVQA-shaped bench task; shared with
+    tools/soak_serve.py so both drive the same compiled programs."""
+    from crab_tpu.tasks import registry
+
+    task = registry.TaskSpec(
+        "bench-avqa",
+        lambda s: registry.prompts.avqa_instruction(s["question"]),
+        lambda s: s["media"],
+        dict(registry.TASKS["avqa"].feature_lens),
+        max_new_tokens=max_new,
+    )
+    registry.TASKS["bench-avqa"] = task
+    return task
+
+
 def main():
     import jax
 
@@ -159,15 +175,7 @@ def main():
     )
     del params
 
-    q_tokens = cfg.al_projector.num_query_tokens
-    bench_task = registry.TaskSpec(
-        "bench-avqa",
-        lambda s: registry.prompts.avqa_instruction(s["question"]),
-        lambda s: s["media"],
-        dict(registry.TASKS["avqa"].feature_lens),
-        max_new_tokens=100,
-    )
-    registry.TASKS["bench-avqa"] = bench_task
+    bench_task = register_bench_task()
 
     rng = np.random.default_rng(SEED)
     trace = build_trace(rng, N_REQ)
@@ -246,7 +254,8 @@ def main():
         # slot cache is bf16: 8 slots x 1024 = 4.3 GB next to 6.5 GB int8
         # weights + 1 GB encoders; 1792 would be 7.5 GB and OOM. The
         # trace tops out at ~896 prompt + 96 decode. int8 slots halve the
-        # per-slot cost, so the kv8 row doubles the slot count instead.
+        # per-slot cost, so the kv8 row runs 1.5x the slots (12; 2x=16
+        # OOMs next to the grouped-admission transients — see grid note).
         cb = ContinuousEngine(
             q_engine if kv8 else engine, slots=slots, max_len=1024,
             chunk=16, prefill_chunk=pf_chunk, spec_k=spec_k,

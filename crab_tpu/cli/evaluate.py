@@ -128,76 +128,80 @@ def main(argv=None):
         from crab_tpu.utils.diagnostics import trace
 
         prof.enter_context(trace(args.profile_dir))
-    t0 = time.time()
-    if clip_mode:
-        # depth-2 overlap: clip i+1's host prep + H2D run while the
-        # device executes clip i (same discipline as run_stream)
-        outputs = engine.run_clip_stream(args.task, batches, depth=2)
-    else:
-        outputs = engine.run_stream(args.task, batches)
-    route_dir = os.path.join(args.out, "routes")
-    sample_idx = 0
-    with open(fp, "w") as f:
-        for out, batch in zip(outputs, batches):
-            if args.dump_routes:
-                # one prefill pass with telemetry per batch; per-sample
-                # dumps in the reference's directory-per-sample layout
-                from crab_tpu.utils.diagnostics import dump_token_routes
+    try:
+        t0 = time.time()
+        if clip_mode:
+            # depth-2 overlap: clip i+1's host prep + H2D run while the
+            # device executes clip i (same discipline as run_stream)
+            outputs = engine.run_clip_stream(args.task, batches, depth=2)
+        else:
+            outputs = engine.run_stream(args.task, batches)
+        route_dir = os.path.join(args.out, "routes")
+        sample_idx = 0
+        with open(fp, "w") as f:
+            for out, batch in zip(outputs, batches):
+                if args.dump_routes:
+                    # one prefill pass with telemetry per batch; per-sample
+                    # dumps in the reference's directory-per-sample layout
+                    from crab_tpu.utils.diagnostics import dump_token_routes
 
-                routes = engine.route_telemetry(
-                    args.task, batch, per_token=True
-                )
-                for i in range(len(batch)):
-                    dump_token_routes(routes, route_dir, sample_idx + i, i)
-            for i, rec in enumerate(batch):
-                row = {k: v for k, v in rec.items() if isinstance(v, (str, int, float, list))}
-                row["predict"] = out.texts[i]
-                if task.is_avs and out.mask_found is not None:
-                    row["mask_found"] = bool(out.mask_found[i])
-                if task.is_avs and out.masks is not None and rec.get("mask_path"):
-                    if (
-                        not args.score_unfound
-                        and out.mask_found is not None
-                        and not out.mask_found[i]
-                    ):
-                        # decode produced fewer than the six <mask_i>
-                        # tokens: the reference skips the sample
-                        # (unified_llama.py:344-353 returns no masks;
-                        # quick_start.py:82-84 `continue`s without
-                        # counting it)
-                        f.write(json.dumps(row) + "\n")
-                        continue
-                    logits = out.masks[i]
-                    if logits.shape[-1] != 224:  # tiny-config smoke runs
-                        import cv2
+                    routes = engine.route_telemetry(
+                        args.task, batch, per_token=True
+                    )
+                    for i in range(len(batch)):
+                        dump_token_routes(routes, route_dir, sample_idx + i, i)
+                for i, rec in enumerate(batch):
+                    row = {k: v for k, v in rec.items() if isinstance(v, (str, int, float, list))}
+                    row["predict"] = out.texts[i]
+                    if task.is_avs and out.mask_found is not None:
+                        row["mask_found"] = bool(out.mask_found[i])
+                    if task.is_avs and out.masks is not None and rec.get("mask_path"):
+                        if (
+                            not args.score_unfound
+                            and out.mask_found is not None
+                            and not out.mask_found[i]
+                        ):
+                            # decode produced fewer than the six <mask_i>
+                            # tokens: the reference skips the sample
+                            # (unified_llama.py:344-353 returns no masks;
+                            # quick_start.py:82-84 `continue`s without
+                            # counting it)
+                            f.write(json.dumps(row) + "\n")
+                            continue
+                        logits = out.masks[i]
+                        if logits.shape[-1] != 224:  # tiny-config smoke runs
+                            import cv2
 
-                        logits = np.stack(
-                            [cv2.resize(c, (224, 224)) for c in logits]
-                        )
-                    if task.avss_head:
-                        from crab_tpu.media.masks import load_avss_label_mask
+                            logits = np.stack(
+                                [cv2.resize(c, (224, 224)) for c in logits]
+                            )
+                        if task.avss_head:
+                            from crab_tpu.media.masks import load_avss_label_mask
 
-                        gt = load_avss_label_mask(rec["mask_path"])
-                        mi, fs, cc, _ = M.calc_color_miou_fscore(logits[None], gt)
-                        miou_sum += mi
-                        fsc_sum += fs
-                        cls_cnt += cc
-                    else:
-                        from crab_tpu.media.masks import load_binary_mask
+                            gt = load_avss_label_mask(rec["mask_path"])
+                            mi, fs, cc, _ = M.calc_color_miou_fscore(logits[None], gt)
+                            miou_sum += mi
+                            fsc_sum += fs
+                            cls_cnt += cc
+                        else:
+                            from crab_tpu.media.masks import load_binary_mask
 
-                        gt = load_binary_mask(rec["mask_path"])
-                        row["miou"] = M.mask_iou(logits[:1], gt)
-                        row["fscore"] = M.eval_fmeasure(logits[:1], gt)
-                        if base_task == "ref-avs" and rec.get("null", False):
-                            row["null_s"] = M.metric_s_for_null(logits[:1])
-                    from crab_tpu.media.masks import save_mask_png
+                            gt = load_binary_mask(rec["mask_path"])
+                            row["miou"] = M.mask_iou(logits[:1], gt)
+                            row["fscore"] = M.eval_fmeasure(logits[:1], gt)
+                            if base_task == "ref-avs" and rec.get("null", False):
+                                row["null_s"] = M.metric_s_for_null(logits[:1])
+                        from crab_tpu.media.masks import save_mask_png
 
-                    name = f"{len(os.listdir(mask_dir)):06d}.png"
-                    save_mask_png(logits, os.path.join(mask_dir, name), task.avss_head)
-                    row["pred_mask"] = name
-                f.write(json.dumps(row) + "\n")
-            sample_idx += len(batch)
-    prof.close()
+                        name = f"{len(os.listdir(mask_dir)):06d}.png"
+                        save_mask_png(logits, os.path.join(mask_dir, name), task.avss_head)
+                        row["pred_mask"] = name
+                    f.write(json.dumps(row) + "\n")
+                sample_idx += len(batch)
+    finally:
+        # finalize the trace on ANY exit — a failing run is exactly
+        # the one whose profile you want written
+        prof.close()
     wall = time.time() - t0
     print(f"{len(records)} samples in {wall:.1f}s "
           f"({len(records)/max(wall,1e-9):.2f} clips/s)")

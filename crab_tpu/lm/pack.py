@@ -145,6 +145,14 @@ def pack_decoder(
             new_layers[name] = dict(new_layers[name])
             new_layers[name]["lora"] = fused
             if donate:
+                # force materialization before deleting the sources —
+                # lazy backends (axon relay) execute on data demand, so
+                # deleting inputs of an unexecuted concat/reshape would
+                # poison the fused arrays (same discipline as _pack_group)
+                import numpy as _np
+
+                for leaf in fused.values():
+                    _np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
                 _delete_buffers(lp)
     out = dict(decoder_params)
     out["layers"] = new_layers

@@ -24,13 +24,31 @@ def _pca_2d(x: np.ndarray) -> np.ndarray:
     return proj
 
 
-def expert_embedding(decoder_params: Dict, proj: str = "q") -> Dict:
+def expert_embedding(
+    decoder_params: Dict, proj: str = "q", num_experts: Optional[int] = None
+) -> Dict:
     """2-D embedding + pairwise cosine of each (layer, expert) B matrix.
 
     Returns {'points': (L*E, 2), 'labels': [(layer, expert)...],
              'cosine': (E, E) mean over layers}.
+
+    Handles both LoRA layouts: canonical ``B`` (L, E, r, out) and the
+    packed serving layout's fused single-member ``Bd`` (L, E*r, out) —
+    the latter needs ``num_experts`` to un-flatten (E is not recoverable
+    from the fused shapes alone).
     """
-    B = np.asarray(decoder_params["layers"][proj]["lora"]["B"], np.float32)
+    lora = decoder_params["layers"][proj]["lora"]
+    if "B" in lora:
+        B = np.asarray(lora["B"], np.float32)
+    else:
+        if num_experts is None:
+            raise ValueError(
+                f"{proj} uses the fused serving LoRA layout (Bd); pass "
+                "num_experts (cfg.decoder.lora.num_experts) to un-flatten"
+            )
+        Bd = np.asarray(lora["Bd"], np.float32)
+        L_, er, out = Bd.shape
+        B = Bd.reshape(L_, num_experts, er // num_experts, out)
     L, E = B.shape[0], B.shape[1]
     flat = B.reshape(L * E, -1)
     points = _pca_2d(flat)
@@ -52,12 +70,19 @@ def route_entropy(route_mean: np.ndarray) -> float:
     return float(h.mean())
 
 
-def analyze(decoder_params: Dict, out_dir: Optional[str] = None) -> Dict:
+def analyze(
+    decoder_params: Dict,
+    out_dir: Optional[str] = None,
+    num_experts: Optional[int] = None,
+) -> Dict:
+    """``num_experts`` is required only for packed/fused serving trees
+    (their o/down LoRA stores flattened ``Bd``; pass
+    cfg.decoder.lora.num_experts)."""
     report = {}
     for proj in ("q", "k", "v", "o"):
         if "lora" not in decoder_params["layers"].get(proj, {}):
             continue
-        emb = expert_embedding(decoder_params, proj)
+        emb = expert_embedding(decoder_params, proj, num_experts=num_experts)
         report[proj] = {
             "expert_cosine": emb["cosine"].tolist(),
             "spread": float(np.std(emb["points"])),

@@ -281,3 +281,28 @@ def test_score_avcap_bleu():
              "caption": ["a red ball", "the red ball bounces"]}]
     out = score_avcap(recs)
     np.testing.assert_allclose(out["bleu3"], 1.0)
+
+
+def test_router_analysis_fused_layout():
+    """expert_embedding handles the packed serving layout (o/down LoRA
+    fused to RA/Bd by pack_decoder): un-flattens Bd with num_experts and
+    matches the canonical-layout embedding; without num_experts it fails
+    loudly instead of KeyError-ing."""
+    import pytest as _pytest
+
+    from crab_tpu.lm.llama import init_llama
+    from crab_tpu.lm.pack import pack_decoder
+    from crab_tpu.utils.router_analysis import analyze, expert_embedding
+
+    cfg = crab_tiny().decoder
+    params = init_llama(jax.random.PRNGKey(5), cfg)
+    canon = expert_embedding({"layers": params["layers"]}, "o")
+    packed = pack_decoder(params, cfg)
+    fused = expert_embedding(
+        {"layers": packed["layers"]}, "o", num_experts=cfg.lora.num_experts
+    )
+    np.testing.assert_allclose(canon["cosine"], fused["cosine"], rtol=1e-6)
+    with _pytest.raises(ValueError, match="num_experts"):
+        expert_embedding({"layers": packed["layers"]}, "o")
+    rep = analyze(packed, num_experts=cfg.lora.num_experts)
+    assert "o" in rep

@@ -39,7 +39,6 @@ def main():
     import bench_serve as bs
     from crab_tpu.runtime.engine import InferenceEngine
     from crab_tpu.runtime.continuous import ContinuousEngine
-    from crab_tpu.tasks import registry
 
     cfg, special, params = bs.serving_model()
     engine = InferenceEngine(
@@ -48,14 +47,7 @@ def main():
     )
     del params
 
-    q_tokens = registry.TASKS["avqa"]
-    registry.TASKS["bench-avqa"] = registry.TaskSpec(
-        "bench-avqa",
-        lambda s: registry.prompts.avqa_instruction(s["question"]),
-        lambda s: s["media"],
-        dict(q_tokens.feature_lens),
-        max_new_tokens=100,
-    )
+    bs.register_bench_task()
 
     rng = np.random.default_rng(bs.SEED)
     trace = bs.build_trace(rng, bs.N_REQ)
