@@ -199,6 +199,70 @@ def main():
     }
     if peak_gb is not None:
         record["peak_hbm_gb"] = peak_gb
+
+    # ---- data plane: real media decode per batch, prefetch 0 vs 2 ----
+    # quantifies the --prefetch overlap claim (tasks/datasets.py): cv2
+    # 10-frame seeks + audio decode per sample happen on worker threads
+    # while the device runs the train step. Same compiled step program
+    # (avqa-shaped batches at pad_to=768).
+    if os.environ.get("CRAB_TRAIN_DATAPLANE", "0") == "1" and not tiny:
+        import tempfile
+        import zlib
+
+        from crab_tpu.tasks.datasets import (
+            TrainCollator,
+            TrainDataset,
+            task_batches,
+        )
+
+        class StubTok:
+            def encode(self, text):
+                return [
+                    special.token_to_id.get(
+                        w, 7 + (zlib.crc32(w.encode()) % 20000)
+                    )
+                    for w in text.replace(">", "> ").replace("<", " <").split()
+                ]
+
+        assets = "/root/reference/assets/example"
+        ann = [
+            {
+                "audio_path": f"{assets}/avqa/00006835.mp3",
+                "video_path": f"{assets}/avvp/6aV6c8mY0lg.mp4",
+                "question": "What is the instrument on the left?",
+                "answer": "piano",
+            }
+        ] * (3 * BATCH)
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".json", delete=False
+        ) as f:
+            json.dump(ann, f)
+            ann_path = f.name
+        col = TrainCollator(StubTok(), special, cfg)
+        for prefetch in (0, 2):
+            ds = TrainDataset({"avqa": ann_path}, special)
+            walls = []
+            for rep in range(2):
+                t0 = time.time()
+                n = 0
+                for b in task_batches(
+                    ds, col, BATCH, pad_to=T, prefetch=prefetch
+                ):
+                    b = jax.tree_util.tree_map(jnp.asarray, b)
+                    state, metrics = step(state, b)
+                    float(metrics["loss"])
+                    n += 1
+                walls.append((time.time() - t0) / max(n, 1))
+            record[f"dataplane_s_per_step_prefetch{prefetch}"] = round(
+                min(walls), 3
+            )
+            print(
+                f"# dataplane prefetch={prefetch}: "
+                f"{min(walls):.2f} s/step over {n} batches x 2 reps",
+                file=sys.stderr,
+            )
+        os.unlink(ann_path)
+
     print(json.dumps(record))
 
 
