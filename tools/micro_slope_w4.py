@@ -15,7 +15,8 @@ from crab_tpu.core.config import crab_7b
 from crab_tpu.lm.generate import generate
 from crab_tpu.lm.quant import init_llama_w4
 
-B, T = 8, 704
+B = int(_os.environ.get("W4_B", "8"))
+T = int(_os.environ.get("W4_T", "704"))
 cfg = dataclasses.replace(crab_7b().decoder, kv_quant=False)
 
 params = jax.jit(lambda k: init_llama_w4(k, cfg))(jax.random.PRNGKey(0))
