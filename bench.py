@@ -388,20 +388,25 @@ def main():
                 # where n-gram drafting accepts, so the full-budget row
                 # is the one speculation moves. Greedy-lossless (every
                 # token is a real argmax; see lm/spec.py).
+                # MEDIAN-of-3: this row straddles the >=5x threshold and
+                # the relay's run-to-run variance is +-10-15%, so a
+                # best-of measurement would overstate it (VERDICT r03).
                 try:
                     t1 = time.time()
                     spec_engine.run("bench-avqa-500", samples_all[:b500])
                     print(f"# 500-token spec_k={SPEC_K} compile+first: "
                           f"{time.time()-t1:.1f}s", file=sys.stderr)
-                    best = 1e9
-                    for _ in range(2):
+                    times = []
+                    for _ in range(3):
                         t1 = time.time()
                         spec_engine.run("bench-avqa-500", samples_all[:b500])
-                        best = min(best, time.time() - t1)
-                    clips500_spec = b500 / best
+                        times.append(time.time() - t1)
+                    med = float(np.median(times))
+                    clips500_spec = b500 / med
                     print(f"# 500-token batch-{b500} spec_k={SPEC_K}: "
-                          f"{best:.1f} s/batch ({clips500_spec:.3f} "
-                          "clips/s)", file=sys.stderr)
+                          f"median {med:.1f} s/batch of "
+                          f"{[round(t, 1) for t in times]} "
+                          f"({clips500_spec:.3f} clips/s)", file=sys.stderr)
                 except Exception as e:  # noqa: BLE001
                     print(f"# 500-token spec row failed ({e!s:.120}); "
                           "skipped", file=sys.stderr)
@@ -418,6 +423,21 @@ def main():
         ),
         # same-decode-length analytic A100 anchor (see module docstring)
         "vs_baseline": round(clips_per_sec / a100_anchor(MAX_NEW_TOKENS), 3),
+        # anchor honesty: every vs_* multiplier divides by a MODELED A100
+        # denominator (never measured by the reference — SURVEY.md §6).
+        # The band shows each multiplier under a +-25% anchor error: a
+        # FASTER-than-modeled A100 (anchor x1.25) shrinks our multiplier
+        # to the 'anchor_p25_faster' value. Provenance of the anchor's
+        # components is recorded in BASELINE.md.
+        "anchor_sensitivity": {
+            "assumption": "rate_A100(n) = 8 / (1.5 + 0.045 n) clips/s",
+            "vs_baseline_anchor_25pct_faster": round(
+                clips_per_sec / (a100_anchor(MAX_NEW_TOKENS) * 1.25), 3
+            ),
+            "vs_baseline_anchor_25pct_slower": round(
+                clips_per_sec / (a100_anchor(MAX_NEW_TOKENS) * 0.75), 3
+            ),
+        },
         "p50_latency_ms": round(p50, 1),
         "p99_latency_ms": round(p99, 1),
         **({"p50_latency_ms_spec": round(p50_spec, 1)} if p50_spec else {}),
@@ -439,6 +459,10 @@ def main():
         record["vs_a100_500tok_spec"] = round(
             clips500_spec / a100_anchor(500), 2
         )
+        record["vs_a100_500tok_spec_anchor_band"] = [
+            round(clips500_spec / (a100_anchor(500) * 1.25), 2),
+            round(clips500_spec / (a100_anchor(500) * 0.75), 2),
+        ]
     print(json.dumps(record))
 
 

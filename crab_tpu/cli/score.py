@@ -270,9 +270,39 @@ def score_avcap(records: List[Dict]) -> Dict:
     return out
 
 
+def score_lvis(records: List[Dict]) -> Dict:
+    """LVIS seg pretrain: per-IMAGE mean IoU/F-score (no per-video
+    grouping — LVIS samples are independent images, unlike the AVS
+    clips score_avs averages per video). Mirrors the online
+    ``mask_iou`` accumulation of the reference's seg-pretrain eval loop
+    (``scripts/pretrain/inference.py:205-213``)."""
+    ious, fscores = [], []
+    skipped = 0
+    for r in records:
+        if "miou" not in r and "iou" not in r:
+            skipped += 1
+            continue
+        ious.append(float(r["miou" if "miou" in r else "iou"]))
+        if "fscore" in r:
+            fscores.append(float(r["fscore"]))
+    out: Dict = {
+        "miou": float(np.mean(ious)) if ious else 0.0,
+        "images": len(ious),
+    }
+    if fscores:
+        out["fscore"] = float(np.mean(fscores))
+    if skipped:
+        out["skipped_unfound"] = skipped
+    return out
+
+
 SCORERS = {"avqa": score_avqa, "ave": score_ave, "avvp": score_avvp,
            "arig": score_arig, "avs": score_avs, "s4": score_avs,
-           "ms3": score_avs, "ref-avs": score_avs, "avcap": score_avcap}
+           "ms3": score_avs, "ref-avs": score_avs, "avcap": score_avcap,
+           # stage-1 pretrain eval surface (scripts/pretrain/inference*.py):
+           # captions score corpus BLEU, LVIS seg per-image mIoU/F
+           "image_caption": score_avcap, "video_caption": score_avcap,
+           "audio_caption": score_avcap, "lvis_seg": score_lvis}
 
 
 def main(argv=None):

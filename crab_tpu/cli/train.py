@@ -107,6 +107,11 @@ def main(argv=None):
                    help="collate N batches ahead on worker threads so "
                         "host media decode overlaps the train step "
                         "(0 = synchronous)")
+    p.add_argument("--group-by-length", action="store_true",
+                   help="sort each shuffled megabatch window by text "
+                        "length before cutting batches (the reference's "
+                        "group_by_modality_length sampler, "
+                        "pretrain/trainer.py:129; less padding waste)")
     p.add_argument("--save-every", type=int, default=200)
     p.add_argument("--log-every", type=int, default=1)
     p.add_argument("--resume", default="", help="orbax checkpoint to resume")
@@ -226,7 +231,8 @@ def main(argv=None):
     global_step = int(state.step)
     for epoch in range(args.epochs):
         for batch in task_batches(
-            dataset, collator, args.batch_size, prefetch=args.prefetch
+            dataset, collator, args.batch_size, prefetch=args.prefetch,
+            group_by_length=args.group_by_length,
         ):
             is_avs = "gt_mask" in batch
             avss = bool(

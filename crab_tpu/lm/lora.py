@@ -55,7 +55,10 @@ def moe_lora_delta(
         # fused serving layout (lm/pack.py): route and A share one matmul
         # over x, experts are a flattened (E*r, out) matrix. Inference
         # only — LoRA dropout needs the separate-A canonical layout.
-        assert dropout_rng is None, "fused RA layout is inference-only"
+        if dropout_rng is not None:
+            # not an assert: under `python -O` an assert vanishes and a
+            # packed tree in a train step would silently skip LoRA dropout
+            raise ValueError("fused RA layout is inference-only")
         E = cfg.num_experts
         lead = x.shape[:-1]
         ra = x @ p["RA"].astype(x.dtype)  # (..., E + r), one matmul

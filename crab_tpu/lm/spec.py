@@ -63,10 +63,11 @@ from crab_tpu.lm.llama import (
 def draft_lookup(hist: jnp.ndarray, widx: jnp.ndarray, tok: jnp.ndarray,
                  k: int) -> jnp.ndarray:
     """N-gram draft: (N, k) continuation tokens after the most recent
-    earlier occurrence of the current suffix — the trigram
-    (hist[widx-2], hist[widx-1], tok) when it matches somewhere, else the
-    bigram (hist[widx-1], tok); -1 where no match. Longer-context matches
-    draft better continuations on templated text (the standard
+    earlier occurrence of the current suffix — longest-suffix-first
+    ladder: the 4-gram (hist[widx-3..widx-1], tok) when it matches
+    somewhere, else the trigram (hist[widx-2], hist[widx-1], tok), else
+    the bigram (hist[widx-1], tok); -1 where no match. Longer-context
+    matches draft better continuations on templated text (the standard
     prompt-lookup refinement), and every candidate is still verified, so
     the choice only moves acceptance, never correctness."""
     N, S = hist.shape
@@ -78,11 +79,18 @@ def draft_lookup(hist: jnp.ndarray, widx: jnp.ndarray, tok: jnp.ndarray,
         hist, jnp.maximum(widx - 2, 0)[:, None], axis=1
     )[:, 0]
     prev2 = jnp.where(widx >= 2, prev2, -1)
+    prev3 = jnp.take_along_axis(
+        hist, jnp.maximum(widx - 3, 0)[:, None], axis=1
+    )[:, 0]
+    prev3 = jnp.where(widx >= 3, prev3, -1)
     h_next = jnp.concatenate(
         [hist[:, 1:], jnp.full((N, 1), -1, jnp.int32)], axis=1
     )
     h_prev = jnp.concatenate(
         [jnp.full((N, 1), -1, jnp.int32), hist[:, :-1]], axis=1
+    )
+    h_prev2 = jnp.concatenate(
+        [jnp.full((N, 2), -1, jnp.int32), hist[:, :-2]], axis=1
     )
     hit = (
         (hist == prev[:, None])
@@ -94,11 +102,15 @@ def draft_lookup(hist: jnp.ndarray, widx: jnp.ndarray, tok: jnp.ndarray,
         & (ar + 2 <= widx[:, None] - 1)
     )
     hit3 = hit & (h_prev == prev2[:, None]) & (prev2[:, None] >= 0)
+    hit4 = hit3 & (h_prev2 == prev3[:, None]) & (prev3[:, None] >= 0)
     # most recent match: hit positions hold their own index, so the max
-    # value IS the chosen j; trigram matches win over bigram-only ones
-    jstar3 = jnp.max(jnp.where(hit3, ar, -1), axis=1)  # (N,), -1 if none
+    # value IS the chosen j; longer-suffix matches win over shorter ones
+    jstar4 = jnp.max(jnp.where(hit4, ar, -1), axis=1)  # (N,), -1 if none
+    jstar3 = jnp.max(jnp.where(hit3, ar, -1), axis=1)
     jstar2 = jnp.max(jnp.where(hit, ar, -1), axis=1)
-    jstar = jnp.where(jstar3 >= 0, jstar3, jstar2)
+    jstar = jnp.where(
+        jstar4 >= 0, jstar4, jnp.where(jstar3 >= 0, jstar3, jstar2)
+    )
     has = jstar >= 0
     gidx = jnp.minimum(jnp.maximum(jstar, 0)[:, None] + 2 + jnp.arange(k), S - 1)
     draft = jnp.take_along_axis(hist, gidx, axis=1)

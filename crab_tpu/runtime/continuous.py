@@ -475,7 +475,12 @@ class ContinuousEngine:
                     # device-side acceptance count would overstate what
                     # speculation actually delivered on budget-crossing
                     # chunks — count at most the kept tokens minus the
-                    # one non-drafted token per verify forward
+                    # one non-drafted token per verify forward. This is an
+                    # UPPER-BOUND clamp: a chunk spans several verify
+                    # forwards (one non-drafted token each), so truncated
+                    # chunks can still overcount drafted-and-kept tokens
+                    # by up to (verifies - 1); exact accounting would need
+                    # per-slot verify counts from the chunk fn
                     self._accepted += int(min(acc[s], max(taken - 1, 0)))
                 if req.is_avs and hid is not None and taken:
                     req.hiddens.append(hid[s, :taken])

@@ -53,6 +53,13 @@ def decoder_layer_specs(fsdp: bool = True) -> Dict[str, Any]:
             "route": P(),
             "A": P(),
             "B": P(None, None, None, "model") if lora_out else P(),
+            # pack_decoder's fused o/down layout keeps these per-proj keys
+            # (only qkv/gu get the `packed` dict). Without entries here the
+            # fused expert matrices would silently replicate everywhere.
+            # RA is tiny -> replicated; Bd (L, E*r, out) shards its out
+            # axis like 'w' does (row-parallel o/down: out on `data`).
+            "RA": P(),
+            "Bd": P(None, None, out_axis),
         }
         return d
 

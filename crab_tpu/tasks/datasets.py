@@ -200,18 +200,43 @@ class TrainCollator:
         return batch
 
 
+def example_length(e: TrainExample) -> int:
+    """Length key for grouped batching: whitespace token count of the
+    instruction + answer text. Within one task the media token budget is
+    a constant (static shapes), so text length is the only source of
+    batch-to-batch padding variance — the analogue of the reference's
+    per-sample ``modality_lengths`` (text tokens + media placeholders)."""
+    return len(e.instruction.split()) + len(e.output.split())
+
+
 def task_batches(
     dataset: TrainDataset,
     collator: TrainCollator,
     batch_size: int,
     pad_to: Optional[int] = None,
     prefetch: int = 0,
+    group_by_length: bool = False,
+    group_window: int = 8,
 ) -> Iterator[Dict]:
     """Epoch iterator: shuffle, group by task, emit fixed-size batches.
 
     Grouping by task keeps shapes static per compiled program — the
     TPU-native replacement for the reference's modality-length-grouped
-    sampler (``scripts/pretrain/trainer.py:129``).
+    sampler (``scripts/pretrain/trainer.py:129``): its sampler's first
+    split key is "multimodal vs language-only"
+    (``get_modality_length_grouped_indices``); per-task grouping is the
+    strictly finer version of that split.
+
+    ``group_by_length`` adds the sampler's second key — within each task,
+    a shuffled megabatch window of ``group_window * batch_size`` examples
+    is sorted by text length (descending, like
+    ``get_length_grouped_indices``'s per-megabatch sort) before being cut
+    into batches, so same-length samples share a batch and the dynamic
+    pad-to-batch-max wastes fewer tokens. Batch ORDER is still shuffled
+    (the reference permutes megabatches), so optimization sees randomized
+    length order across steps. Default off, matching the reference's
+    ``group_by_modality_length`` flag default
+    (``configs/unified_config.py:80``).
 
     ``prefetch`` > 0 collates up to that many batches ahead on worker
     threads (media decode is cv2/C++-WAV, GIL-releasing) so host IO
@@ -224,6 +249,15 @@ def task_batches(
         by_task.setdefault(e.task_name, []).append(e)
     chunks = []
     for task, items in by_task.items():
+        if group_by_length:
+            mega = max(group_window, 1) * batch_size
+            ordered = []
+            for i in range(0, len(items), mega):
+                ordered.extend(
+                    sorted(items[i: i + mega], key=example_length,
+                           reverse=True)
+                )
+            items = ordered
         for i in range(0, len(items) - batch_size + 1, batch_size):
             chunks.append(items[i: i + batch_size])
     dataset._rng.shuffle(chunks)

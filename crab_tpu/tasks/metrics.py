@@ -55,9 +55,10 @@ def eval_fmeasure(pred_logits: np.ndarray, gt: np.ndarray, pr_num: int = 255) ->
         # vectorized PR sweep
         yp = pred[i][None] >= thresholds[:, None, None]  # (pr, H, W)
         tp = (yp * y[None]).sum(axis=(1, 2))
-        prec = tp / (yp.sum(axis=(1, 2)) + 1e-20)
-        recall = tp / (y.sum() + 1e-20)
-        f = (1 + beta2) * prec * recall / (beta2 * prec + recall)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            prec = tp / (yp.sum(axis=(1, 2)) + 1e-20)
+            recall = tp / (y.sum() + 1e-20)
+            f = (1 + beta2) * prec * recall / (beta2 * prec + recall)
         f = np.nan_to_num(f, nan=0.0)
         avg_f += f
         img_num += 1

@@ -318,6 +318,43 @@ TASKS.update(
     }
 )
 
+# Stage-1 pretrain EVAL variants — the reference ships a live eval driver
+# per pretrain modality (``scripts/pretrain/inference_visual.py``,
+# ``inference_audio.py``, ``inference.py`` [seg], ``inference_seg.py``):
+# batch-1 loops decoding captions at max_new_tokens=200
+# (``inference_visual.py:184``, ``inference_audio.py:171``) or masks at
+# 100 (``inference.py:171``), dumping {label, output} JSONL (+ mask PNGs
+# and online IoU for seg). Same prompts/media as the train tasks — only
+# the decode budget and the scorer wiring differ. cli.evaluate streams
+# them batched and scores captions with corpus BLEU (cli/score.py), which
+# the reference never shipped (its caption evals dead-end at JSONL).
+TASKS.update(
+    {
+        "image_caption-eval": TaskSpec(
+            "image_caption-eval", _pt_image_instruction,
+            _pt_image_caption_media, {"<image>": QUERY_TOKENS},
+            max_new_tokens=200, metric="text",
+        ),
+        "video_caption-eval": TaskSpec(
+            "video_caption-eval", _pt_video_instruction,
+            _pt_video_caption_media,
+            {"<video>": PRETRAIN_VIDEO_FRAMES * QUERY_TOKENS},
+            max_new_tokens=200, metric="text",
+        ),
+        "audio_caption-eval": TaskSpec(
+            "audio_caption-eval", _pt_audio_instruction,
+            _pt_audio_caption_media,
+            {"<audio>": MAX_PRETRAIN_AUDIO_SECONDS * QUERY_TOKENS},
+            max_new_tokens=200, metric="text",
+        ),
+        "lvis_seg-eval": TaskSpec(
+            "lvis_seg-eval", _pt_lvis_instruction, _pt_lvis_media,
+            {"<image>": QUERY_TOKENS}, is_avs=True, max_new_tokens=100,
+            metric="mask",
+        ),
+    }
+)
+
 
 # ---------------------------------------------------------------------------
 # Full-split eval tasks — the UnifiedTestDataset surface

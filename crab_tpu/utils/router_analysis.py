@@ -48,6 +48,21 @@ def expert_embedding(
             )
         Bd = np.asarray(lora["Bd"], np.float32)
         L_, er, out = Bd.shape
+        # the un-flatten below is valid ONLY for the single-member fused
+        # layout (o/down). A multi-member block-diagonal Bd ('qkv'/'gu':
+        # (L, n*E*r, sum_out)) would silently mix member blocks and zero
+        # padding into the per-expert vectors — detect it via the fused
+        # RA width (single member: E + r columns) and refuse.
+        if "RA" in lora:
+            r_implied = er // num_experts
+            cols = int(np.shape(lora["RA"])[-1])
+            if cols != num_experts + r_implied:
+                raise ValueError(
+                    f"{proj} is a multi-member packed projection "
+                    f"(RA has {cols} columns, single-member would have "
+                    f"{num_experts + r_implied}); analyze the canonical "
+                    "(unpacked) params instead"
+                )
         B = Bd.reshape(L_, num_experts, er // num_experts, out)
     L, E = B.shape[0], B.shape[1]
     flat = B.reshape(L * E, -1)

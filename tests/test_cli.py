@@ -293,3 +293,53 @@ def test_evaluate_cli_dump_routes(tmp_path):
             assert arr.shape[3] == cfg.decoder.lora.num_experts
             # router weights: softmaxed, rows sum to 1
             np.testing.assert_allclose(arr.sum(-1), 1.0, rtol=1e-3)
+
+
+def test_evaluate_cli_pretrain_eval_tasks(tmp_path):
+    """Stage-1 pretrain eval surface (scripts/pretrain/inference*.py):
+    audio_caption-eval decodes + BLEU-scores captions; lvis_seg-eval runs
+    the seg head per image and scores per-image mIoU/F."""
+    from crab_tpu.cli.evaluate import main
+
+    # caption eval: {label JSONL + BLEU summary} like inference_audio.py
+    ann = [
+        {
+            "audio_path": f"{ASSETS}/s4/audio.wav",
+            "output": "a dog barks near a fence",
+        }
+    ] * 2
+    annp = tmp_path / "ac.json"
+    annp.write_text(json.dumps(ann))
+    out = tmp_path / "eval_ac"
+    summary = main(
+        ["--task", "audio_caption-eval", "--annotations", str(annp),
+         "--random-init", "--tiny", "--out", str(out), "--batch-size", "2"]
+    )
+    assert summary["n"] == 2
+    assert "bleu4" in summary  # scorer wired (cli/score.py SCORERS)
+    rows = [json.loads(l) for l in open(out / "infer_results.jsonl")]
+    assert len(rows) == 2 and rows[0]["predict"] != ""
+    assert rows[0]["output"] == "a dog barks near a fence"
+
+    # seg-pretrain eval: online IoU + mask PNGs like inference.py:205-236
+    ann = [
+        {
+            "image_path": f"{ASSETS}/s4/0.jpg",
+            "mask_path": f"{ASSETS}/s4/0.png",
+            "name": "dog",
+            "def": "a domestic canine",
+        }
+    ] * 2
+    annp = tmp_path / "lvis.json"
+    annp.write_text(json.dumps(ann))
+    out = tmp_path / "eval_lvis"
+    summary = main(
+        ["--task", "lvis_seg-eval", "--annotations", str(annp),
+         "--random-init", "--tiny", "--out", str(out), "--batch-size", "2",
+         "--score-unfound"]
+    )
+    assert summary["n"] == 2
+    assert "miou" in summary and summary["images"] == 2
+    rows = [json.loads(l) for l in open(out / "infer_results.jsonl")]
+    assert len(rows) == 2 and "miou" in rows[0] and "fscore" in rows[0]
+    assert len(os.listdir(out / "pred_masks")) == 2

@@ -172,3 +172,46 @@ def test_train_answer_templates_byte_parity():
     # both names exist and are distinct — the old duplicate silently
     # shadowed the train format
     assert prompts.ref_avs_train_output is not prompts.ref_avs_eval_output
+
+
+def test_task_batches_group_by_length(annotations, tmp_path):
+    """--group-by-length sorts each megabatch window by text length
+    before cutting batches (reference ``get_length_grouped_indices``:
+    shuffle -> per-megabatch sort desc -> batch), so batches partition
+    the window's sorted order into contiguous runs."""
+    from crab_tpu.tasks.datasets import example_length
+
+    # 8 arig records with strongly varying text lengths
+    objs = ["a", "b c", "d e f", "g h i j", "k l m n o",
+            "p q r s t u", "v w x y z a b", "c d e f g h i j"]
+    arig = [
+        {
+            "audio_path": f"{ASSETS}/arig/audio.wav",
+            "image_path": f"{ASSETS}/arig/1.jpg",
+            "object": o,
+            "box": [10, 20, 100, 200],
+        }
+        for o in objs
+    ]
+    p = tmp_path / "arig_gl.json"
+    p.write_text(json.dumps(arig))
+    ds = TrainDataset({"arig": str(p)}, SPECIAL)
+
+    passthrough = lambda chunk, pad_to=None: chunk  # noqa: E731
+    batches = list(
+        task_batches(ds, passthrough, batch_size=2, group_by_length=True,
+                     group_window=4)  # one window covers all 8
+    )
+    assert len(batches) == 4
+    # within a batch: non-increasing length
+    for b in batches:
+        lens = [example_length(e) for e in b]
+        assert lens == sorted(lens, reverse=True)
+    # the batches (re-ordered by their own max) reconstruct the full
+    # descending sort — i.e. each batch is a contiguous run of it
+    ordered = sorted(batches, key=lambda b: -example_length(b[0]))
+    flat = [example_length(e) for b in ordered for e in b]
+    assert flat == sorted(flat, reverse=True)
+    # default off: plain batching unaffected
+    plain = list(task_batches(ds, passthrough, batch_size=2))
+    assert len(plain) == 4
