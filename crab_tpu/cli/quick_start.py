@@ -186,6 +186,13 @@ def main(argv=None):
         for ex in examples:
             task_name = ex.pop("task")
             task = TASKS[task_name]
+            if args.max_new_tokens > 0 and (
+                task.max_new_tokens != args.max_new_tokens
+            ):
+                import dataclasses as _dc
+
+                task = _dc.replace(task, max_new_tokens=args.max_new_tokens)
+                TASKS[task_name] = task
             out = engine.run(task_name, [ex])
             record: Dict = {"task": task_name, "predict": out.texts[0]}
             if task.is_avs and out.mask_found is not None:

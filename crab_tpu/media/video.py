@@ -25,6 +25,84 @@ def clip_normalize(frames_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(x, -1, -3)
 
 
+# ---------------------------------------------------------------------
+# Codec-native YUV420 wire format
+#
+# H.264/H.265 store frames as YUV 4:2:0 — the decoder's native output is
+# Y (H, W) + U, V (H/2, W/2) planes; the RGB every host pipeline ships is
+# *derived* from them. Shipping the planes and converting on device
+# halves the video host->device bytes (1.5 B/px -> RGB's 3 B/px) with no
+# information loss for file-decoded video. The host reference conversion
+# (`yuv420_to_rgb_host`) and the device one (`yuv420_to_rgb`) use the
+# same integer BT.601 arithmetic, so the two paths are bit-identical —
+# tested in tests/test_media.py. (The reference ships decord's RGB over
+# PCIe — `dataset/unified_dataset.py:719` — where bytes are free; over a
+# bandwidth-limited host link the planes are the right wire format.)
+#
+# Packed layout: one uint8 array (..., H*3//2, W) = the standard I420
+# buffer (Y plane rows, then U then V planes flattened into W-wide rows).
+# ---------------------------------------------------------------------
+
+
+def _yuv_split(packed):
+    """(..., H*3//2, W) -> Y (..., H, W), U, V (..., H//2, W//2)."""
+    H = packed.shape[-2] * 2 // 3
+    W = packed.shape[-1]
+    y = packed[..., :H, :]
+    tail = packed[..., H:, :].reshape(packed.shape[:-2] + (2, H // 2, W // 2))
+    return y, tail[..., 0, :, :], tail[..., 1, :, :]
+
+
+def rgb_to_yuv420(frames_u8: np.ndarray) -> np.ndarray:
+    """uint8 RGB (..., H, W, 3) -> packed I420 uint8 (..., H*3//2, W).
+
+    BT.601 limited-range integer math (the fixed-point form video
+    encoders use); chroma = rounded mean of the 2x2 block's per-pixel
+    U/V. H and W must be even.
+    """
+    f = frames_u8.astype(np.int32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+    u = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+    v = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+
+    def sub(c):
+        s = c.shape
+        c = c.reshape(s[:-2] + (s[-2] // 2, 2, s[-1] // 2, 2))
+        return (c.sum(axis=(-3, -1)) + 2) >> 2
+
+    u, v = sub(u), sub(v)
+    H, W = y.shape[-2], y.shape[-1]
+    tail = np.stack([u, v], axis=-3).reshape(y.shape[:-2] + (H // 2, W))
+    return np.concatenate([y, tail], axis=-2).astype(np.uint8)
+
+
+def _yuv420_to_rgb_math(xp, y, u, v):
+    """Shared integer BT.601 inverse; xp is numpy or jax.numpy."""
+    up = xp.repeat(xp.repeat(u, 2, axis=-2), 2, axis=-1)
+    vp = xp.repeat(xp.repeat(v, 2, axis=-2), 2, axis=-1)
+    c = y.astype(xp.int32) - 16
+    d = up.astype(xp.int32) - 128
+    e = vp.astype(xp.int32) - 128
+    r = (298 * c + 409 * e + 128) >> 8
+    g = (298 * c - 100 * d - 208 * e + 128) >> 8
+    b = (298 * c + 516 * d + 128) >> 8
+    rgb = xp.stack([r, g, b], axis=-1)
+    return xp.clip(rgb, 0, 255).astype(xp.uint8)
+
+
+def yuv420_to_rgb_host(packed: np.ndarray) -> np.ndarray:
+    """Host (numpy) reference: packed I420 -> uint8 RGB (..., H, W, 3).
+    Nearest chroma upsample; bit-identical to the device conversion."""
+    return _yuv420_to_rgb_math(np, *_yuv_split(np.asarray(packed)))
+
+
+def yuv420_to_rgb(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device (XLA) conversion: packed I420 -> uint8 RGB. Runs inside the
+    encode program (cheap VPU integer work next to the CLIP matmuls)."""
+    return _yuv420_to_rgb_math(jnp, *_yuv_split(jnp.asarray(packed)))
+
+
 def load_image(path: str, image_size: int = 224) -> np.ndarray:
     """Load a still image -> uint8 (H, W, 3), PIL bicubic resize.
 
@@ -94,3 +172,18 @@ def load_video_frames(
         f = cv2.resize(f, (image_size, image_size), interpolation=cv2.INTER_LINEAR)
         out.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
     return np.stack(out, axis=0).astype(np.uint8)
+
+
+def load_video_frames_yuv(
+    path: str, num_frames: int = 10, image_size: int = 224
+) -> np.ndarray:
+    """Decode uniform frames -> packed I420 uint8 (T, H*3//2, W).
+
+    The wire-efficient serving path: half the host->device bytes of the
+    RGB form (`load_video_frames`). cv2's capture API only exposes the
+    converted BGR frames, so this re-packs after resize; a decoder that
+    hands out the raw planes (FFmpeg sws-less path) would skip the round
+    trip. Device-side `yuv420_to_rgb` restores RGB bit-identically to
+    `yuv420_to_rgb_host`.
+    """
+    return rgb_to_yuv420(load_video_frames(path, num_frames, image_size))

@@ -68,6 +68,7 @@ class InferenceEngine:
         top_p: float = 1.0,
         sample_seed: int = 0,
         spec_k: int = 0,
+        wire_video: str = "rgb",
     ):
         self.cfg = cfg
         if pack and "layers" in params.get("decoder", {}):
@@ -113,6 +114,13 @@ class InferenceEngine:
             raise ValueError(
                 "spec_k requires greedy decoding (temperature == 0)"
             )
+        # wire_video="yuv420": ship RGB media as codec-native I420 planes
+        # (half the video H2D bytes; media.video module docstring). Media
+        # recipes that decode files can hand the engine "video_yuv"
+        # directly; this flag converts RGB-provided media at upload time.
+        if wire_video not in ("rgb", "yuv420"):
+            raise ValueError(f"wire_video must be rgb|yuv420, got {wire_video}")
+        self.wire_video = wire_video
 
     def _next_key(self) -> jnp.ndarray:
         # Greedy (the default): samplers ignore the key, so hand every
@@ -141,9 +149,9 @@ class InferenceEngine:
             lens["<audio>"] = (
                 media["audio"].shape[0] * self.cfg.al_projector.num_query_tokens
             )
-        for key in ("video", "image"):
+        for key, tag in (("video", "video"), ("video_yuv", "video"), ("image", "image")):
             if key in media:
-                lens[f"<{key}>"] = (
+                lens[f"<{tag}>"] = (
                     media[key].shape[0] * self.cfg.vl_projector.num_query_tokens
                 )
         return SampleSpec(ids, lens, None, task.name), media
@@ -154,6 +162,11 @@ class InferenceEngine:
         (``Image.resize`` default, quick_start_dataset.py:456-459)."""
         size = self.cfg.vision.image_size
         out = dict(media)
+        if "video_yuv" in out and out["video_yuv"].shape[-1] != size:
+            raise ValueError(
+                "video_yuv planes must arrive pre-sized (decode-side "
+                f"resize): width {out['video_yuv'].shape[-1]} != {size}"
+            )
         for key in ("video", "image", "seg_image"):
             if key in out and out[key].shape[1] != size:
                 from PIL import Image
@@ -184,9 +197,18 @@ class InferenceEngine:
         taps_external = "seg_image" in media
         if "audio" in media:
             parts.append(encode_audio(params, cfg, media["audio"]))
-        if "video" in media:
+        if "video" in media or "video_yuv" in media:
+            if "video_yuv" in media:
+                # codec-native I420 planes over the wire (half the RGB
+                # bytes); integer BT.601 -> RGB on device, bit-identical
+                # to media.video.yuv420_to_rgb_host (tests/test_media.py)
+                from crab_tpu.media.video import yuv420_to_rgb
+
+                frames = yuv420_to_rgb(media["video_yuv"])
+            else:
+                frames = media["video"]
             tok, taps = encode_video(
-                params, cfg, media["video"], want_seg and not taps_external
+                params, cfg, frames, want_seg and not taps_external
             )
             seg_taps = taps if taps is not None else seg_taps
             parts.append(tok)
@@ -428,6 +450,10 @@ class InferenceEngine:
                 arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(
                     np.int16
                 )
+            if k == "video" and self.wire_video == "yuv420":
+                from crab_tpu.media.video import rgb_to_yuv420
+
+                k, arr = "video_yuv", rgb_to_yuv420(arr)
             out[k] = jnp.asarray(arr)
         return out
 

