@@ -362,3 +362,65 @@ def test_continuous_sharded_matches_unsharded(engine, monkeypatch):
     )
     cb = ContinuousEngine(sh_engine, slots=2, max_len=256, chunk=3)
     assert cb.run(reqs) == expected
+
+
+def test_continuous_mixed_ntp_avs_yuv_trace(engine, monkeypatch):
+    """The serving-bench trace shape: NTP requests with codec-native
+    video_yuv media interleaved with AVS (seg) requests, through ONE
+    ContinuousEngine run. Texts and masks match per-request batch-engine
+    runs; AVS rows produce masks inside the mixed stream."""
+    from crab_tpu.tasks import registry
+
+    q = CFG.al_projector.num_query_tokens
+    ntp = TaskSpec(
+        "tiny-mix-ntp",
+        lambda s: (
+            "This is a video:\n<video_start><video><video_end>\n"
+            "This is an audio:\n<audio_start><audio><audio_end>\n"
+            f"Please answer this question: {s['question']}"
+        ),
+        lambda s: s["_media"],
+        {"<video>": 2 * q, "<audio>": q},
+        max_new_tokens=6,
+    )
+    avs = TaskSpec(
+        "tiny-mix-avs",
+        lambda s: prompts.avs_instruction(),
+        lambda s: s["_media"],
+        {"<image>": q, "<audio>": q},
+        is_avs=True,
+        max_new_tokens=6,
+        metric="mask",
+    )
+    monkeypatch.setitem(registry.TASKS, "tiny-mix-ntp", ntp)
+    monkeypatch.setitem(registry.TASKS, "tiny-mix-avs", avs)
+    rng = np.random.default_rng(23)
+    trace = []
+    for i in range(4):
+        if i % 2:
+            trace.append({
+                "task": "tiny-mix-avs",
+                "sample": {"_media": _media(rng)},
+            })
+        else:
+            trace.append({
+                "task": "tiny-mix-ntp",
+                "sample": {
+                    "question": "what plays " + "now " * (3 * i),
+                    "_media": {
+                        "video_yuv": rng.integers(0, 256, (2, 84, 56)).astype(np.uint8),
+                        "audio": rng.standard_normal((1, 16000)).astype(np.float32) * 0.05,
+                    },
+                },
+            })
+
+    cb = ContinuousEngine(engine, slots=2, max_len=256, chunk=3)
+    got = cb.run_requests(trace)
+    for r, o in zip(trace, got):
+        ref = engine.run(r["task"], [r["sample"]])
+        assert o["text"] == ref.texts[0]
+        if r["task"] == "tiny-mix-avs":
+            assert o["masks"] is not None
+            np.testing.assert_allclose(
+                o["masks"], ref.masks[0], rtol=2e-5, atol=2e-5
+            )
