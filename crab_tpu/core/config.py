@@ -150,6 +150,22 @@ class DecoderConfig:
     # quantization is near-lossless on most inputs but is NOT bit-parity
     # (LLM.int8-style outlier channels can degrade 7B quality).
     int8_activations: bool = False
+    # Prefill (T>1) attention implementation. 'xla' materializes the
+    # (B, H, T, S) fp32 score tensor per layer (1.2 GB at the serving
+    # shape B=16/T=768 — written and re-read around the softmax);
+    # 'flash' runs the bundled Pallas TPU flash-attention kernel
+    # (jax.experimental.pallas.ops.tpu.flash_attention) with online
+    # softmax — scores never leave VMEM. Numerics: same math, different
+    # reduction order (not bit-parity with 'xla'). Decode (T==1) is
+    # unaffected (ops/decode_attention.py owns that path).
+    prefill_attn: str = "xla"
+    # flash block sizes (q, k). This environment pays ~5.6 us of fixed
+    # cost per Pallas grid step (tools/README.md), so serving shapes
+    # want the largest blocks that fit VMEM; 768 = whole-row blocks at
+    # the bench prefill width. Measured before changing: tools/
+    # micro_prefill_attn.py.
+    flash_block_q: int = 256
+    flash_block_k: int = 256
     # layer-scan unroll factor. At full unroll (= num_layers) the layer
     # index becomes a compile-time constant, so per-layer KV cache reads
     # are static slices instead of dynamic gathers (which XLA may

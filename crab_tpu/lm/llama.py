@@ -21,6 +21,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from crab_tpu.core.config import DecoderConfig, MoELoRAConfig
 from crab_tpu.core.layers import kaiming_uniform, normal_init, rms_norm, rms_norm_init
@@ -269,6 +270,68 @@ def _attention(q, k, v, mask, num_heads, num_kv_heads):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, H * hd)
 
 
+def _pick_block(n: int, want: int) -> int:
+    """Largest multiple of 128 that divides n and is <= want (flash
+    kernel blocks must be 128-multiples dividing the sequence)."""
+    b = min(want, n)
+    b -= b % 128
+    while b > 128 and n % b:
+        b -= 128
+    return max(b, 128)
+
+
+def _attention_flash(q, k, v, pad_mask, num_heads, num_kv_heads,
+                     block_q, block_k):
+    """Online-softmax prefill attention (Pallas flash kernel from
+    jax.experimental.pallas.ops.tpu) — the XLA path above materializes
+    the (B, H, T, T) fp32 score tensor around the softmax (1.2 GB/layer
+    written + re-read at B=16/T=768; measured 253 ms of the 1047 ms
+    serving prefill — tools/micro_prefill2.py). Scores here never leave
+    VMEM. Offset-0 full-causal prefill only; pad_mask (B, T) 1=keep
+    carries left-padding via segment ids (pads land in segment 0, real
+    tokens in 1 — cross-segment attention is masked, matching the
+    additive mask the XLA path builds)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, T, H, hd = q.shape
+    if num_kv_heads != H:
+        rep = H // num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    qt = q.transpose(0, 2, 1, 3)  # (B, H, T, hd)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    seg = pad_mask.astype(jnp.int32)
+    bq = _pick_block(T, block_q)
+    bk = _pick_block(T, block_k)
+    # block_b > 1 cuts grid steps (5.6 us fixed each here) but the fp32
+    # score block (block_b*bq*bk*4) must stay well inside 16 MB VMEM
+    bb = 1
+    while (
+        bb * 2 <= B
+        and B % (bb * 2) == 0
+        and (bb * 2) * bq * bk * 4 <= 6 * 1024 * 1024
+    ):
+        bb *= 2
+    blocks = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=bb,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    out = flash_attention(
+        qt, kt, vt,
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        causal=True,
+        sm_scale=float(1.0 / np.sqrt(hd)),
+        block_sizes=blocks,
+    )
+    return out.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
+
+
 def lm_head_logits(params, head_in):
     """fp32 logits across the head storage formats: bf16 'lm_head' or
     per-vocab-channel int8 'lm_head_q'+'lm_head_s' (saves a 262 MB bf16
@@ -355,6 +418,28 @@ def llama_apply(
     cos, sin = _rope(position_ids, cfg.head_dim, cfg.rope_theta, x.dtype)
 
     lora_cfg = cfg.lora
+
+    # Offset-0 full-causal prefill attention: flash kernel when enabled
+    # and the shape qualifies (TPU backend, 128-aligned T and head_dim —
+    # the Pallas kernel's block constraints); XLA score-materializing
+    # path otherwise. Both prefill call sites below (no cache / int8
+    # cache being written) share this.
+    use_flash = (
+        cfg.prefill_attn == "flash"
+        and T % 128 == 0
+        and cfg.head_dim % 128 == 0
+        and jax.default_backend() == "tpu"
+    )
+
+    def prefill_attention(q, k, v):
+        if use_flash:
+            return _attention_flash(
+                q, k, v, attention_mask[:, :T], cfg.num_heads,
+                cfg.num_kv_heads, cfg.flash_block_q, cfg.flash_block_k,
+            )
+        return _attention(
+            q, k, v, mask[..., :T], cfg.num_heads, cfg.num_kv_heads
+        )
 
     def layer_fn(carry, inputs):
         # The KV cache rides the scan *carry* and is updated in place per
@@ -470,9 +555,7 @@ def llama_apply(
             else:
                 # prefill at offset 0: attend over the local (bf16) k/v —
                 # the quantized cache is written for subsequent decode
-                attn = _attention(
-                    q, k, v, mask[..., :T], cfg.num_heads, cfg.num_kv_heads
-                )
+                attn = prefill_attention(q, k, v)
         elif cache is not None:
             k_cache, v_cache = cache_bufs
             k_cache = jax.lax.dynamic_update_slice(
@@ -486,7 +569,8 @@ def llama_apply(
             v_full = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, False)
             attn = _attention(q, k_full, v_full, mask, cfg.num_heads, cfg.num_kv_heads)
         else:
-            attn = _attention(q, k, v, mask, cfg.num_heads, cfg.num_kv_heads)
+            # no cache: S == T, full causal prefill/training
+            attn = prefill_attention(q, k, v)
 
         o, o_route = _proj(
             layer_params["o"], attn, lora_cfg, dkeys.get("o"), route_out=True,

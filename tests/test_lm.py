@@ -510,3 +510,28 @@ def test_int8_lm_head_tracks_bf16(hf_model, params):
     np.testing.assert_allclose(
         np.asarray(q_logits), np.asarray(ref_logits), rtol=0.05, atol=0.05
     )
+
+
+def test_flash_prefill_block_picker_and_cpu_fallback(params):
+    """prefill_attn='flash' only engages on TPU with 128-aligned shapes;
+    on the CPU test backend the gate must fall back to the XLA path
+    bit-identically (same program). _pick_block returns the largest
+    128-multiple dividing T."""
+    import dataclasses
+
+    from crab_tpu.lm.llama import _pick_block
+
+    assert _pick_block(768, 256) == 256
+    assert _pick_block(768, 768) == 768
+    assert _pick_block(768, 512) == 384  # 512 does not divide 768
+    assert _pick_block(768, 10_000) == 768
+    assert _pick_block(704, 256) == 128  # 704 itself is unaligned
+    assert _pick_block(128, 256) == 128
+
+    cfg = dataclasses.replace(CFG, prefill_attn="flash")
+    rng = np.random.default_rng(11)
+    emb = jnp.asarray(rng.standard_normal((2, 8, 64)).astype(np.float32) * 0.1)
+    mask = jnp.asarray([[1] * 8, [0] * 3 + [1] * 5], jnp.int32)
+    ref, _, _, _ = llama_apply(params, CFG, emb, attention_mask=mask)
+    out, _, _, _ = llama_apply(params, cfg, emb, attention_mask=mask)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

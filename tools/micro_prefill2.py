@@ -13,6 +13,12 @@ cost probe, not a correctness path):
   sm-bf16   softmax scores kept in bf16 (halves score-tensor traffic)
   noquant   a8 matmuls fed a fixed pre-quantized x (skips the per-token
             abs-max quantize VPU pass, keeps the s8 dots)
+  dot-bf16  s8xs8 dot typed bf16 (epilogue converts in registers; the
+            s32 round trip — ~2 GB/layer written + re-read — becomes a
+            1 GB bf16 write). NOT numerically exact: |acc| reaches
+            127*127*K ~ 2^26 and bf16 keeps 8 mantissa bits (~0.2% rel),
+            on top of a8's ~1% — candidate only if it measures well
+  nolora    cfg.lora=None (bounds the MoE-LoRA delta's prefill cost)
 
 Run: PF2_GRID=full,noattn,sm-bf16 python tools/micro_prefill2.py
 """
@@ -41,6 +47,20 @@ GRID = _os.environ.get("PF2_GRID", "full,noattn,sm-bf16,w8,noquant").split(",")
 
 _orig_attention = L._attention
 _orig_quantize = L._quantize_act
+_orig_base_proj = L._base_proj
+
+
+def _base_proj_bf16(p, x, a8=False):
+    if a8 and "w_q" in p and p["w_q"].dtype == jnp.int8:
+        xq, xs = L._quantize_act(x)
+        y = jax.lax.dot_general(
+            xq, p["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16,
+        )
+        return (
+            y * (xs * p["w_s"].astype(jnp.float32)[0]).astype(jnp.bfloat16)
+        ).astype(x.dtype)
+    return _orig_base_proj(p, x, a8)
 
 
 def _attn_skip(q, k, v, mask, num_heads, num_kv_heads):
@@ -69,7 +89,8 @@ def _quant_fixed(x):
 def measure(variant: str):
     a8 = variant != "w8"
     cfg = dataclasses.replace(
-        crab_7b().decoder, kv_quant=True, int8_activations=a8
+        crab_7b().decoder, kv_quant=True, int8_activations=a8,
+        lora=None if variant == "nolora" else crab_7b().decoder.lora,
     )
     params = jax.jit(lambda k: init_llama_int8(k, cfg))(jax.random.PRNGKey(0))
     params = pack_decoder(params, cfg, donate=True)
@@ -84,6 +105,7 @@ def measure(variant: str):
         "noattn": _attn_skip, "sm-bf16": _attn_bf16_scores,
     }.get(variant, _orig_attention)
     L._quantize_act = _quant_fixed if variant == "noquant" else _orig_quantize
+    L._base_proj = _base_proj_bf16 if variant == "dot-bf16" else _orig_base_proj
     # packed_proj may close over the module-level quantize; patch there too
     import crab_tpu.lm.pack as P
     if hasattr(P, "_quantize_act"):
@@ -115,6 +137,7 @@ def measure(variant: str):
     print(f"{variant}: prefill {ms:.0f} ms resident (B={B}, T={T})")
     L._attention = _orig_attention
     L._quantize_act = _orig_quantize
+    L._base_proj = _orig_base_proj
     del params
     return ms
 
