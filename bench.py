@@ -92,9 +92,14 @@ def main():
     kv_quant = os.environ.get("CRAB_BENCH_KVQ", "1") == "1"
     # W8A8 prefill (s8xs8 MXU at 2x the bf16 rate): serving default.
     a8 = os.environ.get("CRAB_BENCH_A8", "1") == "1"
+    # Pallas flash prefill attention with whole-row blocks: measured
+    # 1047 -> 976 ms at B=16/T=768 (tools/micro_prefill_attn.py); the
+    # XLA path materializes the (B,H,T,T) fp32 score tensor per layer.
+    pf_attn = os.environ.get("CRAB_BENCH_PF_ATTN", "flash")
     cfg = cfg.replace(
         decoder=dataclasses.replace(
-            cfg.decoder, kv_quant=kv_quant, int8_activations=a8
+            cfg.decoder, kv_quant=kv_quant, int8_activations=a8,
+            prefill_attn=pf_attn, flash_block_q=768, flash_block_k=768,
         )
     )
     special = SpecialTokens(base_vocab=32000)

@@ -143,7 +143,11 @@ def serving_model():
 
     cfg = crab_7b().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
     cfg = cfg.replace(
-        decoder=dataclasses.replace(cfg.decoder, int8_activations=True)
+        decoder=dataclasses.replace(
+            cfg.decoder, int8_activations=True,
+            prefill_attn=os.environ.get("CRAB_SERVE_PF_ATTN", "flash"),
+            flash_block_q=768, flash_block_k=768,
+        )
     )
     special = SpecialTokens(base_vocab=32000)
 

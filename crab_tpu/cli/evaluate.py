@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true")
     p.add_argument("--kv-quant", action="store_true")
     p.add_argument("--a8-prefill", action="store_true")
+    p.add_argument("--flash-prefill", action="store_true",
+                   help="Pallas online-softmax prefill attention (whole-"
+                        "row blocks; same math as the XLA path but not "
+                        "bit-parity — serving only)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--score-unfound", action="store_true",
                    help="score masks even when the decode lacks the six "
@@ -77,12 +81,14 @@ def main(argv=None):
     # '-eval' variants (full-split prompts) score like their base task
     base_task = args.task.removesuffix("-eval")
     cfg, special, chat_style, eos_id = select_model(args)
-    if args.kv_quant or args.a8_prefill:
+    if args.kv_quant or args.a8_prefill or args.flash_prefill:
         import dataclasses
 
         cfg = cfg.replace(decoder=dataclasses.replace(
             cfg.decoder, kv_quant=args.kv_quant,
-            int8_activations=args.a8_prefill))
+            int8_activations=args.a8_prefill,
+            prefill_attn="flash" if args.flash_prefill else "xla",
+            flash_block_q=768, flash_block_k=768))
     params = build_params(args, cfg)
     engine = InferenceEngine(
         cfg, params, build_tokenizer(args, special), special,

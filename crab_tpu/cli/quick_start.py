@@ -141,6 +141,10 @@ def main(argv=None):
                         "near-lossless but not bit-parity)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (Pallas decode attention)")
+    p.add_argument("--flash-prefill", action="store_true",
+                   help="Pallas online-softmax prefill attention (whole-"
+                        "row blocks; same math as the XLA path but not "
+                        "bit-parity — serving only)")
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke test)")
     p.add_argument("--score-unfound", action="store_true",
                    help="score masks even when the decode lacks the six "
@@ -163,12 +167,14 @@ def main(argv=None):
     from crab_tpu.tasks.registry import TASKS
 
     cfg, special, chat_style, eos_id = select_model(args)
-    if args.kv_quant or args.a8_prefill:
+    if args.kv_quant or args.a8_prefill or args.flash_prefill:
         import dataclasses
 
         cfg = cfg.replace(decoder=dataclasses.replace(
             cfg.decoder, kv_quant=args.kv_quant,
-            int8_activations=args.a8_prefill))
+            int8_activations=args.a8_prefill,
+            prefill_attn="flash" if args.flash_prefill else "xla",
+            flash_block_q=768, flash_block_k=768))
     params = build_params(args, cfg)
     tokenizer = build_tokenizer(args, special)
     engine = InferenceEngine(

@@ -62,6 +62,10 @@ def main(argv=None):
                         "continuous engine: int8 slot caches (SlotStateQ, "
                         "half the per-slot HBM)")
     p.add_argument("--a8-prefill", action="store_true")
+    p.add_argument("--flash-prefill", action="store_true",
+                   help="Pallas online-softmax prefill attention (whole-"
+                        "row blocks; same math as the XLA path but not "
+                        "bit-parity — serving only)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--temperature", type=float, default=0.0,
                    help="sampling temperature; 0 = greedy (default)")
@@ -78,12 +82,14 @@ def main(argv=None):
     from crab_tpu.runtime.engine import InferenceEngine
 
     cfg, special, chat_style, eos_id = select_model(args)
-    if args.kv_quant or args.a8_prefill:
+    if args.kv_quant or args.a8_prefill or args.flash_prefill:
         import dataclasses
 
         cfg = cfg.replace(decoder=dataclasses.replace(
             cfg.decoder, kv_quant=args.kv_quant,
-            int8_activations=args.a8_prefill))
+            int8_activations=args.a8_prefill,
+            prefill_attn="flash" if args.flash_prefill else "xla",
+            flash_block_q=768, flash_block_k=768))
     params = build_params(args, cfg)
     engine = InferenceEngine(
         cfg, params, build_tokenizer(args, special), special,

@@ -306,8 +306,21 @@ def _attention_flash(q, k, v, pad_mask, num_heads, num_kv_heads,
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     seg = pad_mask.astype(jnp.int32)
-    bq = _pick_block(T, block_q)
-    bk = _pick_block(T, block_k)
+    # the kernel needs 128-aligned T; serving buckets are 64-aligned
+    # (engine seq_bucket), so pad the tail. Tail queries land in segment
+    # 0 with the left-pads (they attend only garbage, sliced off below);
+    # real queries never see them. Attention FLOPs grow ≤(T+127)²/T²,
+    # but the matmuls around it stay at T — cheaper than widening the
+    # whole prefill bucket to 128.
+    T_pad = -(-T // 128) * 128
+    if T_pad != T:
+        pad = ((0, 0), (0, 0), (0, T_pad - T), (0, 0))
+        qt = jnp.pad(qt, pad)
+        kt = jnp.pad(kt, pad)
+        vt = jnp.pad(vt, pad)
+        seg = jnp.pad(seg, ((0, 0), (0, T_pad - T)))
+    bq = _pick_block(T_pad, block_q)
+    bk = _pick_block(T_pad, block_k)
     # block_b > 1 cuts grid steps (5.6 us fixed each here) but the fp32
     # score block (block_b*bq*bk*4) must stay well inside 16 MB VMEM
     bb = 1
@@ -329,7 +342,7 @@ def _attention_flash(q, k, v, pad_mask, num_heads, num_kv_heads,
         sm_scale=float(1.0 / np.sqrt(hd)),
         block_sizes=blocks,
     )
-    return out.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
+    return out[:, :, :T].transpose(0, 2, 1, 3).reshape(B, T, H * hd)
 
 
 def lm_head_logits(params, head_in):
@@ -420,13 +433,15 @@ def llama_apply(
     lora_cfg = cfg.lora
 
     # Offset-0 full-causal prefill attention: flash kernel when enabled
-    # and the shape qualifies (TPU backend, 128-aligned T and head_dim —
-    # the Pallas kernel's block constraints); XLA score-materializing
-    # path otherwise. Both prefill call sites below (no cache / int8
-    # cache being written) share this.
+    # and the shape qualifies (TPU backend, 128-multiple head_dim — the
+    # Pallas kernel's lane constraint; unaligned T is tail-padded inside
+    # _attention_flash); XLA score-materializing path otherwise. Both
+    # prefill call sites below (no cache / int8 cache being written)
+    # share this. T>=128: tiny prefills would pay more in pad than the
+    # score tensor costs.
     use_flash = (
         cfg.prefill_attn == "flash"
-        and T % 128 == 0
+        and T >= 128
         and cfg.head_dim % 128 == 0
         and jax.default_backend() == "tpu"
     )

@@ -33,9 +33,19 @@ def bench(make_operands, dot, flops, n_hot=24):
 
     def fn(a, b):
         def body(i, acc):
-            y = dot(a, b)
-            # fold a scalar back into a's first element so iterations chain
-            return acc + y[0, 0].astype(jnp.float32)
+            # Two DCE traps, both hit by earlier versions of this probe
+            # (they measured 1700+ "TFLOP/s", 9x the chip peak):
+            # 1. an invariant dot gets hoisted out of the fori_loop —
+            #    fold the data-dependent carry into the operand;
+            # 2. consuming y[0,0] lets XLA strength-reduce the dot to
+            #    ONE output element — consume ALL of y with a full
+            #    reduce. The reduce re-reads y from HBM (~0.7 ms at the
+            #    22016 shape), identical for every dtype row, so the
+            #    bf16-vs-s8 ratio is clean even if the absolute TFLOP/s
+            #    is slightly understated.
+            aa = a.at[0, 0].set((i + acc * 0).astype(a.dtype)[()])
+            y = dot(aa, b)
+            return acc + jnp.sum(y, dtype=jnp.float32)
 
         return jax.lax.fori_loop(0, n_hot, body, jnp.zeros((), jnp.float32))
 
