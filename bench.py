@@ -449,10 +449,12 @@ def main():
                     spec_engine.run("bench-avqa-500", samples_all[:b500])
                     print(f"# 500-token spec_k={SPEC_K} compile+first: "
                           f"{time.time()-t1:.1f}s", file=sys.stderr)
-                    # MEDIAN of 3 streamed 3-batch runs (the row straddles
-                    # the >=5x threshold and relay variance is +-10-15%)
+                    # MEDIAN of 5 streamed 3-batch runs (the row straddles
+                    # the >=5x threshold and relay variance is +-10-15%;
+                    # at median-of-3 one straggler run skews the median —
+                    # r04 measured [9.1, 11.5, 9.7])
                     times = []
-                    for _ in range(3):
+                    for _ in range(5):
                         t1 = time.time()
                         spec_engine.run_stream(
                             "bench-avqa-500", [samples_all[:b500]] * 3,

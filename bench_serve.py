@@ -292,11 +292,12 @@ def main():
     # when tail latency of active decodes matters more than throughput.
     # kv8 at 12 slots: 16 int8 slots (4.6 GB cache) OOM next to the
     # grouped-admission transients (4 request-local bf16 caches, ~1.9 GB).
-    for pf_chunk, spec_k, kv8, slots in (
-        (0, 0, False, SLOTS),
-        (256, 0, False, SLOTS),
-        (0, 4, False, SLOTS),
-        (0, 4, True, SLOTS + SLOTS // 2),
+    for pf_chunk, spec_k, adaptive, kv8, slots in (
+        (0, 0, False, False, SLOTS),
+        (256, 0, False, False, SLOTS),
+        (0, 4, False, False, SLOTS),
+        (0, 4, True, False, SLOTS),
+        (0, 4, False, True, SLOTS + SLOTS // 2),
     ):
         if cb is not None:
             # free the previous engine's 4.3 GB slot state NOW — the
@@ -315,6 +316,7 @@ def main():
         cb = ContinuousEngine(
             q_engine if kv8 else engine, slots=slots, max_len=1024,
             chunk=16, prefill_chunk=pf_chunk, spec_k=spec_k,
+            spec_adaptive=adaptive,
         )
         finish = {}
         orig = cb._finish
@@ -327,6 +329,8 @@ def main():
         name = f"continuous(pf={pf_chunk}"
         if spec_k:
             name += f",spec={spec_k}"
+        if adaptive:
+            name += ",adaptive"
         if kv8:
             name += f",kv8,slots={slots}"
         name += ")"
@@ -371,6 +375,9 @@ def main():
         if spec_k:
             # warm + 3 timed runs all accumulate acceptance telemetry
             row["spec_accepted_per_run"] = cb.spec_accepted // 4
+        if adaptive:
+            row["spec_chunks"] = cb.spec_chunks
+            row["plain_chunks"] = cb.plain_chunks
         results.append(row)
         print(f"# {name}: {results[-1]}", file=sys.stderr)
 

@@ -47,6 +47,11 @@ def main(argv=None):
                    help="self-speculative decoding: verify N history-"
                         "drafted tokens per forward (greedy only, "
                         "token-identical; lm/spec.py)")
+    p.add_argument("--spec-adaptive", action="store_true",
+                   help="with --spec-k on the continuous engine: fall "
+                        "back to plain chunks when measured acceptance "
+                        "is below break-even, re-probing every 8th "
+                        "chunk (safe to leave on for any traffic)")
     p.add_argument("--max-len", type=int, default=1280)
     p.add_argument("--llm", choices=["llama", "qwen"], default="llama")
     p.add_argument("--llama", default="")
@@ -114,6 +119,7 @@ def main(argv=None):
         cb = ContinuousEngine(
             engine, slots=args.slots, max_len=args.max_len, chunk=args.chunk,
             prefill_chunk=args.prefill_chunk, spec_k=args.spec_k,
+            spec_adaptive=args.spec_adaptive,
         )
         results = cb.run_requests(requests)
     else:

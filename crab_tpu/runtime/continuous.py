@@ -77,6 +77,7 @@ class ContinuousEngine:
         prefill_chunk: int = 0,
         admit_batch: int = 4,
         spec_k: int = 0,
+        spec_adaptive: bool = False,
     ):
         """``prefill_chunk``: admit prompts in pieces of this many tokens,
         running a decode chunk for the active slots between pieces —
@@ -94,7 +95,18 @@ class ContinuousEngine:
         repeated n-grams emit several tokens per weight read (lm/spec.py).
         Greedy-only; token-identical to the plain chunk loop up to bf16
         tied-argmax rounding (lm/spec.py module docstring); requires
-        temperature == 0 on the wrapped engine."""
+        temperature == 0 on the wrapped engine.
+
+        ``spec_adaptive``: with spec_k > 0, fall back to plain chunks
+        when the measured draft acceptance is below break-even and
+        re-probe with one spec chunk every 8th chunk. The verify
+        forward costs ~1 + (2.3 + 1.4k)/17.3 of a plain step (measured,
+        tools/micro_spec.py), so speculation pays iff accepted/emitted
+        > 1 - 1/cost — ~0.31 at k=4. Templated Crab answers clear it;
+        adversarially random text does not (SERVE_r03 measured spec=4
+        LOSING to plain on such a trace) — adaptive makes spec safe to
+        leave on for any traffic. Tokens are identical either way
+        (drafts are always verified); only scheduling changes."""
         self.engine = engine
         self.cfg = engine.cfg
         self.slots = slots
@@ -110,6 +122,22 @@ class ContinuousEngine:
                 " distributions would need rejection sampling"
             )
         self._accepted = 0
+        self.spec_adaptive = bool(spec_adaptive) and self.spec_k > 0
+        # acceptance EMA starts optimistic (first chunks speculate);
+        # break-even threshold from the verify-cost model, calibrated
+        # IN-ENGINE: the micro model (1 + (2.3+1.4k)/17.3, k=4 -> 1.45x,
+        # tools/micro_spec.py) underestimates the slot engine's spec
+        # chunk — SERVE_r04 measured acceptance 0.34 with spec=4 still
+        # 18% slower than plain (2.415 vs 2.946 req/s), implying a real
+        # in-engine verify cost of ~1.84x at k=4 (x1.27 the micro
+        # model: slot KV scatters, window masks, and the per-chunk host
+        # harvest don't amortize the way the batch engine's do)
+        verify_cost = 1.27 * (1.0 + (2.3 + 1.4 * self.spec_k) / 17.3)
+        self._spec_threshold = 1.0 - 1.0 / verify_cost
+        self._spec_ema = 1.0
+        self._chunk_i = 0
+        self.spec_chunks = 0
+        self.plain_chunks = 0
         self._dtype = engine._dtype
         # cfg.decoder.kv_quant selects the int8 slot cache (SlotStateQ):
         # half the cache HBM per slot, tokens identical to the batch
@@ -125,8 +153,8 @@ class ContinuousEngine:
         self._seg_programs: Dict = {}
         cfgd = self.cfg.decoder
 
-        def _chunk(params, state, rng, capture):
-            if self.spec_k:
+        def _chunk(params, state, rng, capture, use_spec):
+            if use_spec:
                 from crab_tpu.lm.spec import spec_decode_chunk
 
                 del rng  # greedy-only
@@ -149,7 +177,7 @@ class ContinuousEngine:
         # (measured RESOURCE_EXHAUSTED). State flow is linear by
         # construction (self.state is reassigned at every call site).
         self._chunk_fn = jax.jit(
-            _chunk, static_argnames="capture", donate_argnums=1
+            _chunk, static_argnames=("capture", "use_spec"), donate_argnums=1
         )
         self._deposit = jax.jit(
             deposit, static_argnames="slot", donate_argnums=0
@@ -443,11 +471,27 @@ class ContinuousEngine:
             if not by_slot:
                 return
             capture = any(r.is_avs for r in by_slot.values())
+            use_spec = bool(self.spec_k)
+            if self.spec_adaptive:
+                self._chunk_i += 1
+                # speculate while the acceptance EMA clears break-even;
+                # below it, run plain chunks but re-probe with one spec
+                # chunk every 8th so a regime change (templated answers
+                # resuming) is picked up within ~8 chunks
+                use_spec = (
+                    self._spec_ema >= self._spec_threshold
+                    or self._chunk_i % 8 == 0
+                )
+            if use_spec:
+                self.spec_chunks += 1
+            else:
+                self.plain_chunks += 1
             res = self._chunk_fn(
-                self.engine.params, self.state, self.engine._next_key(), capture
+                self.engine.params, self.state, self.engine._next_key(),
+                capture, use_spec,
             )
             acc = None
-            if self.spec_k:
+            if use_spec:
                 self.state, out, emitted, acc = res[:4]
                 hid = np.asarray(res[4]) if capture else None
                 acc = np.asarray(acc)  # rides the same sync as `out`
@@ -459,6 +503,7 @@ class ContinuousEngine:
                 hid = None
             out = np.asarray(out)  # (N, chunk) — sync point, once per chunk
             emitted = np.asarray(emitted)
+            chunk_taken = chunk_acc = 0
             for s, req in list(by_slot.items()):
                 taken = 0
                 for t in out[s, : emitted[s]]:
@@ -481,7 +526,10 @@ class ContinuousEngine:
                     # chunks can still overcount drafted-and-kept tokens
                     # by up to (verifies - 1); exact accounting would need
                     # per-slot verify counts from the chunk fn
-                    self._accepted += int(min(acc[s], max(taken - 1, 0)))
+                    kept = int(min(acc[s], max(taken - 1, 0)))
+                    self._accepted += kept
+                    chunk_taken += taken
+                    chunk_acc += kept
                 if req.is_avs and hid is not None and taken:
                     req.hiddens.append(hid[s, :taken])
                 if req.tokens and (
@@ -490,6 +538,12 @@ class ContinuousEngine:
                 ):
                     self._finish(req)
                     del by_slot[s]
+            if use_spec and self.spec_adaptive and chunk_taken:
+                # EMA over spec chunks only (plain chunks carry no
+                # acceptance signal); 0.3 weight reacts within ~3 chunks
+                self._spec_ema = (
+                    0.7 * self._spec_ema + 0.3 * chunk_acc / chunk_taken
+                )
 
         def fail(req, e):
             req.done = True

@@ -331,6 +331,46 @@ def test_continuous_kv_quant_matches_batch_kv_quant(engine, monkeypatch):
     assert spec.run(reqs) == expected
 
 
+def test_continuous_spec_adaptive_token_parity_and_fallback(
+    engine, monkeypatch
+):
+    """spec_adaptive must (a) return identical texts (drafts are always
+    verified — switching schedules can't change tokens) and (b) actually
+    fall back: random tiny-model outputs have ~zero n-gram acceptance,
+    so after the optimistic opening chunks the EMA drops below the
+    break-even threshold and plain chunks take over, with spec probes
+    every 8th chunk."""
+    from crab_tpu.tasks import registry
+
+    task = _task("tiny-cb-ad", max_new=24)
+    monkeypatch.setitem(registry.TASKS, "tiny-cb-ad", task)
+    rng = np.random.default_rng(23)
+    samples = [
+        {"question": "what sounds first", "_media": _media(rng)},
+        {"question": "who is playing the long instrument over there",
+         "_media": _media(rng)},
+        {"question": "who", "_media": _media(rng)},
+    ]
+    expected = [engine.run("tiny-cb-ad", [s]).texts[0] for s in samples]
+    reqs = [{"task": "tiny-cb-ad", "sample": s} for s in samples]
+
+    ad = ContinuousEngine(
+        engine, slots=2, max_len=256, chunk=3, spec_k=3, spec_adaptive=True
+    )
+    assert ad.run(reqs) == expected
+    assert ad.spec_chunks + ad.plain_chunks > 0
+    # random outputs -> acceptance ~0 -> the engine must have fallen back
+    assert ad.plain_chunks > 0, (
+        f"ema={ad._spec_ema} never dropped below {ad._spec_threshold}"
+    )
+    # probes keep some spec chunks alive even in the low-acceptance regime
+    assert ad.spec_chunks > 0
+    # without the flag, every chunk speculates
+    fixed = ContinuousEngine(engine, slots=2, max_len=256, chunk=3, spec_k=3)
+    assert fixed.run(reqs) == expected
+    assert fixed.plain_chunks == 0
+
+
 def test_continuous_sharded_matches_unsharded(engine, monkeypatch):
     """Multi-chip serving: the continuous engine over a TP=4/FSDP=2
     sharded InferenceEngine produces the same texts as the unsharded
