@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--kv-quant", action="store_true")
+    p.add_argument("--enc-int8", action="store_true",
+                   help="W8A8 CLIP+BEATs encoders (2x MXU rate on the "
+                        "encode stage; ~1e-2 rel numerics — serving "
+                        "only, not for parity evals)")
     p.add_argument("--a8-prefill", action="store_true")
     p.add_argument("--flash-prefill", action="store_true",
                    help="Pallas online-softmax prefill attention (whole-"

@@ -67,8 +67,13 @@ def build_params(args, cfg):
                 jax.random.PRNGKey(1), cfg.decoder,
                 jax.numpy.dtype(cfg.param_dtype),
             )
-            return params
-        return init_crab(jax.random.PRNGKey(0), cfg)
+        else:
+            params = init_crab(jax.random.PRNGKey(0), cfg)
+        if getattr(args, "enc_int8", False):
+            from crab_tpu.encoders.quantize import quantize_encoders
+
+            params = quantize_encoders(params)
+        return params
     from crab_tpu.runtime import loading
 
     params = init_crab(jax.random.PRNGKey(0), cfg)
@@ -86,6 +91,10 @@ def build_params(args, cfg):
         from crab_tpu.lm.quant import quantize_decoder_host
 
         params["decoder"] = quantize_decoder_host(params["decoder"])
+    if getattr(args, "enc_int8", False):
+        from crab_tpu.encoders.quantize import quantize_encoders
+
+        params = quantize_encoders(params)
     return params
 
 
@@ -136,6 +145,10 @@ def main(argv=None):
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only decoder (single-chip serving)")
+    p.add_argument("--enc-int8", action="store_true",
+                   help="W8A8 CLIP+BEATs encoders (2x MXU rate on the "
+                        "encode stage; ~1e-2 rel numerics — serving "
+                        "only, not for parity evals)")
     p.add_argument("--a8-prefill", action="store_true",
                    help="W8A8 prefill with int8 weights (2x MXU rate; "
                         "near-lossless but not bit-parity)")

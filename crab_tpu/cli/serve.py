@@ -47,11 +47,18 @@ def main(argv=None):
                    help="self-speculative decoding: verify N history-"
                         "drafted tokens per forward (greedy only, "
                         "token-identical; lm/spec.py)")
-    p.add_argument("--spec-adaptive", action="store_true",
+    p.add_argument("--spec-adaptive", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="with --spec-k on the continuous engine: fall "
                         "back to plain chunks when measured acceptance "
                         "is below break-even, re-probing every 8th "
-                        "chunk (safe to leave on for any traffic)")
+                        "chunk. DEFAULT ON: tokens are identical either "
+                        "way, and fixed spec loses to plain on low-"
+                        "acceptance traffic (SERVE_r03.json -15% at 0.34 "
+                        "acceptance; SERVE_r05.json par at 0.40 = the "
+                        "modeled break-even), so the gated mode is the "
+                        "safe default (--no-spec-adaptive for fixed "
+                        "spec)")
     p.add_argument("--max-len", type=int, default=1280)
     p.add_argument("--llm", choices=["llama", "qwen"], default="llama")
     p.add_argument("--llama", default="")
@@ -62,6 +69,10 @@ def main(argv=None):
     p.add_argument("--avs-delta", default="")
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--enc-int8", action="store_true",
+                   help="W8A8 CLIP+BEATs encoders (2x MXU rate on the "
+                        "encode stage; ~1e-2 rel numerics — serving "
+                        "only, not for parity evals)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache — batch engine: KVCacheQ decode; "
                         "continuous engine: int8 slot caches (SlotStateQ, "
@@ -113,6 +124,7 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
+    spec_summary = {}
     if args.engine == "continuous":
         from crab_tpu.runtime.continuous import ContinuousEngine
 
@@ -122,6 +134,14 @@ def main(argv=None):
             spec_adaptive=args.spec_adaptive,
         )
         results = cb.run_requests(requests)
+        if args.spec_k:
+            spec_summary = {
+                "spec_k": args.spec_k,
+                "spec_adaptive": cb.spec_adaptive,
+                "spec_accepted": int(cb.spec_accepted),
+                "spec_chunks": int(cb.spec_chunks),
+                "plain_chunks": int(cb.plain_chunks),
+            }
     else:
         import dataclasses
 
@@ -178,10 +198,21 @@ def main(argv=None):
                 row["mask_found"] = res.get("mask_found")
                 row["mask_path"] = os.path.join(mask_dir, f"{i}.png")
             f.write(json.dumps(row) + "\n")
+    summary = {
+        "requests": len(requests),
+        "wall_s": round(dt, 2),
+        "requests_per_s": round(len(requests) / max(dt, 1e-9), 3),
+        "engine": args.engine,
+        **spec_summary,
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f)
     print(
         f"served {len(requests)} requests in {dt:.1f}s "
         f"({len(requests)/max(dt,1e-9):.2f} req/s) -> {out_path}"
     )
+    if spec_summary:
+        print(f"spec: {json.dumps(spec_summary)}")
 
 
 if __name__ == "__main__":

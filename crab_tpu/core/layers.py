@@ -51,8 +51,35 @@ def linear_init(key, in_dim, out_dim, use_bias=True, dtype=jnp.float32):
     return p
 
 
+def quantize_act_int8(x):
+    """Per-token symmetric int8 activation quantization (shared with the
+    decoder's W8A8 prefill path, lm/llama._quantize_act semantics)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def linear(p, x):
-    y = x @ p["w"]
+    if "w_q" in p:
+        # W8A8: s8 x s8 -> s32 on the MXU (2x the bf16 rate, measured
+        # 1.6-1.8x sustained — tools/micro_mxu8.py), scales in the fp32
+        # epilogue. Encoder params opt in via encoders/quantize.py;
+        # bf16/fp32 trees never carry 'w_q' so parity paths are
+        # untouched.
+        xq, xs = quantize_act_int8(x)
+        y = jax.lax.dot_general(
+            xq,
+            p["w_q"],
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (
+            y.astype(jnp.float32) * xs * p["w_s"].astype(jnp.float32)[0]
+        ).astype(x.dtype)
+    else:
+        y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y

@@ -173,9 +173,7 @@ def beats_apply(params, fbank: jnp.ndarray, cfg: AudioEncoderConfig) -> jnp.ndar
     x = x.reshape(B, tF, ps, tM, ps).transpose(0, 1, 3, 2, 4).reshape(
         B, tF * tM, ps * ps
     )
-    feats = x @ params["patch_embedding"]["w"]
-    if "b" in params["patch_embedding"]:
-        feats = feats + params["patch_embedding"]["b"]
+    feats = linear(params["patch_embedding"], x)
     feats = layer_norm(params["ln_patch"], feats)
     if "post_extract_proj" in params:
         feats = linear(params["post_extract_proj"], feats)

@@ -404,3 +404,321 @@ def test_delta_values_actually_land(artifacts):
         ].numpy(),
         rtol=1e-6,
     )
+
+
+# ---------------------------------------------------------------------------
+# AVS stage-3 drill (VERDICT r04 #5): the reference's THIRD delta file —
+# seg_module + embed_tokens + lm_head (finetune_hyper_lora_avs.sh:52,
+# loaded at scripts/quick_start.py:540-554) — from on-disk artifacts to
+# mask parity against the reference torch SegModule.
+# ---------------------------------------------------------------------------
+
+from crab_tpu.core.config import SegConfig  # noqa: E402 (drill section)
+
+SEG256 = SegConfig(
+    prompt_embed_dim=256,          # reference hardcodes 256 in the gate
+    transformer_mlp_dim=2048,      # reference hardcodes 2048
+    num_heads=8,
+    avs_query_num=16,
+    query_generator_num_layers=2,
+    query_generator_hidden_dim=2048,
+    vit_embedding_dim=64,
+    image_embedding_size=4,
+    low_res_mask_size=16,
+    output_mask_size=56,
+)
+AVS_CFG = CFG.replace(seg=SEG256)
+
+
+@pytest.fixture(scope="module")
+def avs_artifacts(artifacts):
+    """Extend the drill artifacts with the stage-3 AVS delta: a genuine
+    reference SegModule's state_dict under the peft-wrapped key prefix,
+    plus stage-3 embed/lm_head rows that DIFFER from stage-2's (the
+    reference loads finetune_weights.bin first, then the AVS ckpt
+    overwrites embeddings — load order must be observable)."""
+    from tests.test_seg import _import_reference_seg
+
+    SegModule = _import_reference_seg()
+    torch.manual_seed(99)
+    seg = SegModule(
+        d_model=64,
+        vit_image_embedding_dim=64,
+        prompt_embed_dim=256,
+        image_scale_nums=2,
+        mask_decoder_transformer_depth=2,
+        token_nums_per_scale=3,
+        avs_query_num=16,
+        num_classes=1,
+        query_generator_num_layers=2,
+        image_size=56,
+        patch_size=14,
+        image_embedding_size=4,
+    ).eval()
+
+    sd = {}
+    for k, v in seg.state_dict().items():
+        sd[f"base_model.model.model.seg_module.{k}"] = v
+    # stage-3 embeddings: stage-2 values + a deterministic perturbation
+    s2 = artifacts["delta"]
+    torch.manual_seed(777)
+    emb3 = s2["base_model.model.model.embed_tokens.weight"] + \
+        torch.randn_like(s2["base_model.model.model.embed_tokens.weight"]) * 0.01
+    head3 = s2["base_model.model.lm_head.weight"] + \
+        torch.randn_like(s2["base_model.model.lm_head.weight"]) * 0.01
+    sd["base_model.model.model.embed_tokens.weight"] = emb3
+    sd["base_model.model.lm_head.weight"] = head3
+    path = artifacts["root"] / "avs_ckpt.bin"
+    torch.save(sd, path)
+    return dict(artifacts, seg=seg, avs_path=path, emb3=emb3, head3=head3)
+
+
+def _avs_spliced_ids():
+    """Teacher-forced AVS sequence: ms3 prompt + the reference's answer
+    shape carrying the six <mask_i> tokens (prompts.py AVS templates)."""
+    import argparse
+
+    tok = __import__(
+        "crab_tpu.cli.quick_start", fromlist=["build_tokenizer"]
+    ).build_tokenizer(argparse.Namespace(tokenizer=""), SPECIAL)
+    text = prompts.CHAT_TEMPLATES["llama"](prompts.avs_instruction())
+    answer = f"Sure, <mask_start>{SPECIAL.mask_token_str}<mask_end>"
+    ids = np.asarray(tok.encode(text) + tok.encode(answer), np.int64)
+    return ids
+
+
+def _avs_media_tensors(art):
+    """Host-decoded image + fbank for the s4 example (shared decode,
+    same rationale as the NTP drill docstring)."""
+    from PIL import Image
+
+    task = TASKS["s4"]
+    media = task.media({
+        "audio_path": "/root/reference/assets/example/s4/audio.wav",
+        "image_path": "/root/reference/assets/example/s4/0.jpg",
+    })
+    img = media["image"]
+    if img.shape[1] != 56:
+        img = np.stack([
+            np.asarray(Image.fromarray(f).resize((56, 56)), np.uint8)
+            for f in img
+        ])
+    px = (img.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    px = np.moveaxis(px, -1, -3)  # (1, 3, 56, 56)
+    audio = media["audio"]
+    pcm = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.float32)
+    fb = np.array(beats_normalize(kaldi_fbank(jnp.asarray(pcm[None]))))[0]
+    return img, px, fb
+
+
+def _torch_avs_masks(art):
+    """The reference pipeline's teacher-forced AVS mask prediction from
+    the saved artifacts: the forward_avs semantics
+    (``models/unified_llama.py:164-241``) — last-layer (post-norm) hidden
+    states at the six <mask_i> input positions feed SegModule — which is
+    also exactly what generate_avs gathers for tokens it has emitted
+    (``unified_llama.py:333-353``; crab's capture_mask_hidden applies the
+    same training-consistent shift)."""
+    from transformers import CLIPVisionModel, LlamaForCausalLM
+    from tests.test_encoders import _import_reference_beats
+
+    root = art["root"]
+    llama = LlamaForCausalLM.from_pretrained(root / "llama").eval()
+    clip = CLIPVisionModel.from_pretrained(root / "clip").eval()
+    BEATs, BEATsConfig = _import_reference_beats()
+    ck = torch.load(root / "beats.pt", map_location="cpu", weights_only=False)
+    beats = BEATs(BEATsConfig(ck["cfg"])).eval()
+    beats.load_state_dict(ck["model"])
+    sd = torch.load(root / "finetune_weights.bin", map_location="cpu",
+                    weights_only=False)
+    avs_sd = torch.load(art["avs_path"], map_location="cpu",
+                        weights_only=False)
+
+    lora = CFG.decoder.lora
+    with torch.no_grad():
+        for i, layer in enumerate(llama.model.layers):
+            for name in PROJS:
+                holder = layer.self_attn if name.startswith("self_attn") else layer.mlp
+                short = name.split(".")[1]
+                mod = RefMoELoRA(getattr(holder, short), lora.rank,
+                                 lora.alpha, lora.num_experts)
+                base = f"base_model.model.model.layers.{i}.{name}"
+                mod.lora_route.weight.copy_(sd[f"{base}.lora_route.weight"])
+                mod.lora_A.weight.copy_(sd[f"{base}.lora_A.weight"])
+                for e in range(lora.num_experts):
+                    getattr(mod, f"lora_B{e}").weight.copy_(
+                        sd[f"{base}.lora_B{e}.weight"]
+                    )
+                setattr(holder, short, mod.eval())
+        llama.resize_token_embeddings(CFG.decoder.vocab_size)
+        # stage-2 then stage-3: AVS ckpt wins (reference load order)
+        llama.get_input_embeddings().weight.copy_(
+            avs_sd["base_model.model.model.embed_tokens.weight"]
+        )
+        llama.lm_head.weight.copy_(avs_sd["base_model.model.lm_head.weight"])
+
+    # projectors from the stage-2 delta (reference key layout)
+    def proj_tokens(modality, p, feats):
+        pfx = f"base_model.model.model.{'vl' if modality == 'visual' else 'al'}_projector."
+        with torch.no_grad():
+            p["ln"].weight.copy_(sd[f"{pfx}{modality}_ln.weight"])
+            p["ln"].bias.copy_(sd[f"{pfx}{modality}_ln.bias"])
+            p["fc1"].weight.copy_(sd[f"{pfx}{modality}_proj.0.weight"])
+            p["fc1"].bias.copy_(sd[f"{pfx}{modality}_proj.0.bias"])
+            p["fc2"].weight.copy_(sd[f"{pfx}{modality}_proj.2.weight"])
+            p["fc2"].bias.copy_(sd[f"{pfx}{modality}_proj.2.bias"])
+            q = sd[f"{pfx}{modality}_query_tokens"]
+            x = p["ln"](feats)
+            out = p["qf"](
+                query_embeds=q.expand(x.shape[0], -1, -1),
+                encoder_hidden_states=x,
+            ).last_hidden_state
+            return p["fc2"](F.gelu(p["fc1"](out)))
+
+    _img, px, fb = _avs_media_tensors(art)
+    with torch.no_grad():
+        hs = clip(torch.from_numpy(px), output_hidden_states=True).hidden_states
+        vis_feats = hs[CFG.vision.select_layers[-1]][:, 1:]
+        vis_tokens = proj_tokens("visual", art["vl"], vis_feats)
+        seg_feats = [
+            hs[l][:, 1:] for l in CFG.vision.select_layers[:2]
+        ]  # taps for the seg neck (unified_arch.py:229-251)
+        af, _ = beats.extract_features(
+            torch.from_numpy(fb), None, feature_only=True
+        )
+        aud_tokens = proj_tokens("audio", art["al"], af)
+
+    ids = _avs_spliced_ids()
+    lens = {"<audio>": 8, "<image>": 8}
+    n_real = len(ids) + sum(lens.values()) - len(lens)
+    pad_to = ((n_real + 63) // 64) * 64
+    batch = build_splice_batch([SampleSpec(ids, lens)], SPECIAL, pad_to=pad_to)
+
+    bank = torch.cat([aud_tokens, vis_tokens], dim=1)[0]
+    with torch.no_grad():
+        text_ids = torch.from_numpy(np.asarray(batch.text_ids))
+        emb = llama.get_input_embeddings()(text_ids.clamp(min=0))
+        fidx = torch.from_numpy(np.asarray(batch.feat_idx))
+        emb = torch.where((fidx >= 0).unsqueeze(-1), bank[fidx.clamp(min=0)], emb)
+        out = llama(
+            inputs_embeds=emb,
+            attention_mask=torch.from_numpy(np.asarray(batch.attention_mask)),
+            position_ids=torch.from_numpy(np.asarray(batch.position_ids)),
+            output_hidden_states=True,
+        )
+        h = out.hidden_states[-1]  # post-norm, = crab's last_hidden
+        tid = np.asarray(batch.text_ids)[0]
+        pos = [int(np.where(tid == m)[0][0]) for m in SPECIAL.mask_token_ids]
+        pred = h[:, pos, :]  # (1, 6, 64)
+        masks = art["seg"](
+            pred,
+            list(seg_feats),
+            low_res_mask_size=AVS_CFG.seg.low_res_mask_size,
+            gt_mask=None,
+            batch_task_names=["s4"],
+        )["pred_masks"]
+    return torch.stack(masks, dim=0).numpy(), batch, np.asarray(bank)
+
+
+def test_avs_stage3_artifacts_to_mask_parity(avs_artifacts):
+    """THE AVS drill: load base + stage-2 + stage-3 artifacts through the
+    crab load chain (the same build_params the CLI calls, with
+    --avs-delta semantics) and require the teacher-forced mask logits to
+    match the torch reference pipeline's."""
+    import argparse
+
+    import jax
+
+    from crab_tpu.cli.quick_start import build_params
+    from crab_tpu.lm.llama import llama_apply
+    from crab_tpu.runtime.model import encode_video, encode_audio
+    from crab_tpu.seg.seg_module import seg_apply
+
+    ref_masks, _batch, _bank = _torch_avs_masks(avs_artifacts)
+
+    root = avs_artifacts["root"]
+    args = argparse.Namespace(
+        random_init=False, tiny=True, llm="llama",
+        llama=str(root / "llama"), clip=str(root / "clip"),
+        beats=str(root / "beats.pt"),
+        delta=str(root / "finetune_weights.bin"),
+        avs_delta=str(avs_artifacts["avs_path"]),
+        tokenizer="", int8=False, enc_int8=False,
+    )
+    params = build_params(args, AVS_CFG)
+
+    # stage-3 embeddings landed (not stage-2's): observable load order
+    np.testing.assert_allclose(
+        np.asarray(params["decoder"]["embed"]),
+        avs_artifacts["emb3"].numpy(), rtol=1e-5, atol=1e-6,
+    )
+
+    img, _px, _fb = _avs_media_tensors(avs_artifacts)
+    task_media = TASKS["s4"].media({
+        "audio_path": "/root/reference/assets/example/s4/audio.wav",
+        "image_path": "/root/reference/assets/example/s4/0.jpg",
+    })
+    frames = jnp.asarray(img[None])  # (1, 1, 56, 56, 3)
+    vis_tokens, seg_taps = encode_video(params, AVS_CFG, frames, True)
+    aud = jnp.asarray(task_media["audio"][None])  # (1, 1, nps)
+    aud_tokens = encode_audio(params, AVS_CFG, aud)
+    bank = jnp.concatenate([aud_tokens, vis_tokens], axis=1)[0]
+
+    ids = _avs_spliced_ids()
+    lens = {"<audio>": 8, "<image>": 8}
+    n_real = len(ids) + sum(lens.values()) - len(lens)
+    pad_to = ((n_real + 63) // 64) * 64
+    batch = build_splice_batch([SampleSpec(ids, lens)], SPECIAL, pad_to=pad_to)
+
+    emb = jnp.take(params["decoder"]["embed"],
+                   jnp.clip(jnp.asarray(batch.text_ids), 0, None), axis=0)
+    fidx = jnp.asarray(batch.feat_idx)
+    emb = jnp.where((fidx >= 0)[..., None], bank[jnp.clip(fidx, 0, None)], emb)
+
+    _logits, h, _cache, _t = llama_apply(
+        params["decoder"], AVS_CFG.decoder, emb,
+        attention_mask=jnp.asarray(batch.attention_mask),
+        position_ids=jnp.asarray(batch.position_ids),
+    )
+    tid = np.asarray(batch.text_ids)[0]
+    pos = [int(np.where(tid == m)[0][0]) for m in SPECIAL.mask_token_ids]
+    pred = h[:, np.asarray(pos), :].astype(jnp.float32)
+    masks = seg_apply(params["seg"], pred, seg_taps, AVS_CFG.seg, task="binary")
+
+    assert masks.shape == ref_masks.shape
+    np.testing.assert_allclose(
+        np.asarray(masks), ref_masks, rtol=2e-3, atol=2e-3
+    )
+
+
+def test_avs_delta_values_actually_land(avs_artifacts):
+    """Negative control: without the AVS delta the seg params are the
+    random init, and the stage-2 embeddings (not stage-3's) are live."""
+    import jax
+
+    from crab_tpu.runtime import loading
+    from crab_tpu.runtime.model import init_crab
+
+    root = avs_artifacts["root"]
+    params = init_crab(jax.random.PRNGKey(0), AVS_CFG)
+    params["decoder"] = loading.load_decoder(str(root / "llama"), AVS_CFG)
+    stage2 = loading.apply_reference_delta(
+        params, str(root / "finetune_weights.bin"), AVS_CFG
+    )
+    stage3 = loading.apply_reference_delta(
+        stage2, str(avs_artifacts["avs_path"]), AVS_CFG
+    )
+    # seg swapped only by the stage-3 file
+    s2_leaf = np.asarray(
+        jax.tree_util.tree_leaves(stage2["seg"])[0]
+    )
+    s3_leaf = np.asarray(
+        jax.tree_util.tree_leaves(stage3["seg"])[0]
+    )
+    assert s2_leaf.shape == s3_leaf.shape
+    assert not np.allclose(s2_leaf, s3_leaf)
+    # embeddings moved stage-2 -> stage-3
+    assert not np.allclose(
+        np.asarray(stage2["decoder"]["embed"]),
+        np.asarray(stage3["decoder"]["embed"]),
+    )

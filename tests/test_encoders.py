@@ -204,3 +204,75 @@ def test_beats_parity(gru_rel_pos):
     ours = beats_apply(params, jnp.asarray(fbank), cfg)
     assert ours.shape == tuple(ref.shape) == (2, 48, 64)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 encoder quantization (encoders/quantize.py)
+# ---------------------------------------------------------------------------
+
+
+def test_int8_encoders_close():
+    """Quantized (W8A8) CLIP + BEATs track the fp32 trees on random
+    weights: per-out-channel int8 weights + per-token int8 activations
+    should land within ~2% relative error — the same class as the
+    decoder's serving a8 prefill (lm/llama._base_proj)."""
+    from crab_tpu.core.config import crab_tiny
+    from crab_tpu.encoders.beats import init_beats
+    from crab_tpu.encoders.clip_vit import init_clip_vit
+    from crab_tpu.encoders.quantize import quantize_encoders
+
+    cfg = crab_tiny()
+    key = jax.random.PRNGKey(0)
+    params = {
+        "vision": init_clip_vit(key, cfg.vision, jnp.float32),
+        "audio": init_beats(jax.random.fold_in(key, 1), cfg.audio, jnp.float32),
+    }
+    qparams = quantize_encoders(params, min_dim=8)
+
+    # every big linear actually swapped format
+    def fmt(tree):
+        return sorted(
+            "/".join(str(x) for x in p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(tree)
+            if str(p[-1]) == "['w_q']"
+        )
+
+    assert len(fmt(qparams["vision"])) == 4 * cfg.vision.num_layers
+    assert len(fmt(qparams["audio"])) >= 6 * cfg.audio.encoder_layers
+
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal((2, 3, 56, 56)), jnp.float32)
+    ref = clip_vit_apply(params["vision"], pixels, cfg.vision)[-1]
+    got = clip_vit_apply(qparams["vision"], pixels, cfg.vision)[-1]
+    rel = float(
+        jnp.linalg.norm(got - ref) / (jnp.linalg.norm(ref) + 1e-9)
+    )
+    assert rel < 0.03, f"CLIP int8 rel err {rel}"
+
+    fb = jnp.asarray(rng.standard_normal((2, 96, 128)) * 0.5, jnp.float32)
+    ref_a = beats_apply(params["audio"], fb, cfg.audio)
+    got_a = beats_apply(qparams["audio"], fb, cfg.audio)
+    rel_a = float(
+        jnp.linalg.norm(got_a - ref_a) / (jnp.linalg.norm(ref_a) + 1e-9)
+    )
+    assert rel_a < 0.05, f"BEATs int8 rel err {rel_a}"
+
+
+def test_int8_quantize_skips_small_and_non_linear():
+    from crab_tpu.core.config import crab_tiny
+    from crab_tpu.encoders.beats import init_beats
+    from crab_tpu.encoders.quantize import quantize_encoder_tree
+
+    cfg = crab_tiny()
+    params = init_beats(jax.random.PRNGKey(0), cfg.audio, jnp.float32)
+    q = quantize_encoder_tree(params, min_dim=8)
+    # pos_conv (3-D weight) and the gru gate (hd -> 8 with min dim 8 on
+    # one side only... grep_linear is (16, 8): min dim 8 -> quantized at
+    # threshold 8, so assert with the production threshold instead
+    q256 = quantize_encoder_tree(params, min_dim=256)
+    leaves = {
+        "/".join(str(x) for x in p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(q256)
+    }
+    assert not any("w_q" in l for l in leaves)  # tiny dims: all below 256
+    assert "w" in q["pos_conv"] and q["pos_conv"]["w"].ndim == 3

@@ -112,3 +112,35 @@ timeit(
     lambda p, f: projector_apply(p, f, cfg.al_projector),
     aproj, a_feats,
 )
+
+# ---- W8A8 rows (round 5, VERDICT r04 #2): the same stages with
+# encoders/quantize.py applied — CLIP runs s8xs8 on the MXU (2x rate;
+# micro_mxu8.py measured 1.6-1.8x sustained on pure matmuls) ----
+if _os.environ.get("EP_INT8", "1") == "1":
+    from crab_tpu.encoders.quantize import quantize_encoder_tree
+
+    vq = jax.jit(quantize_encoder_tree)(vparams)
+    aq = jax.jit(quantize_encoder_tree)(aparams)
+    timeit(
+        f"clip {B*FRAMES} frames (3 taps, W8A8)",
+        lambda p, px: clip_vit_apply(p, px, cfg.vision),
+        vq, pixels,
+    )
+    timeit(
+        f"beats {B*SECONDS} seconds (W8A8)",
+        lambda p, f: beats_apply(p, f, cfg.audio),
+        aq, fb,
+    )
+    # numerics check at the serving shape: rel err of the projector-
+    # feeding tap and the seg taps
+    ref = clip_vit_apply(vparams, pixels, cfg.vision)
+    got = clip_vit_apply(vq, pixels, cfg.vision)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        num = jnp.linalg.norm((g - r).astype(jnp.float32))
+        den = jnp.linalg.norm(r.astype(jnp.float32)) + 1e-9
+        print(f"clip tap{i} W8A8 rel err: {float(num/den):.4f}")
+    ra = beats_apply(aparams, fb, cfg.audio)
+    ga = beats_apply(aq, fb, cfg.audio)
+    num = jnp.linalg.norm((ga - ra).astype(jnp.float32))
+    den = jnp.linalg.norm(ra.astype(jnp.float32)) + 1e-9
+    print(f"beats W8A8 rel err: {float(num/den):.4f}")
