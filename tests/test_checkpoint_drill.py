@@ -47,6 +47,8 @@ from crab_tpu.media.video import CLIP_MEAN, CLIP_STD
 from crab_tpu.tasks import prompts
 from crab_tpu.tasks.registry import TASKS
 
+pytestmark = pytest.mark.slow  # oracle/e2e drills: nightly lane
+
 CFG = crab_tiny()  # the config cli.quick_start --tiny builds
 SPECIAL = SpecialTokens(base_vocab=400)
 N_NEW = 8
@@ -721,4 +723,240 @@ def test_avs_delta_values_actually_land(avs_artifacts):
     assert not np.allclose(
         np.asarray(stage2["decoder"]["embed"]),
         np.asarray(stage3["decoder"]["embed"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Qwen drill (VERDICT r04 #5, second half): the reference's second model
+# family (``--llm_name qwen``, finetune_hyperlora.py:44-45) — GQA
+# (Hkv < H), qkv bias, rope 1e6 — from genuine HF Qwen2 artifacts +
+# a peft-keyed delta through cli.quick_start, token-identical to the
+# torch pipeline's greedy decode from the same files.
+# ---------------------------------------------------------------------------
+
+from crab_tpu.core.config import crab_qwen_tiny  # noqa: E402
+
+QCFG = crab_qwen_tiny()
+QPROJS = {
+    "self_attn.q_proj": (64, 64), "self_attn.k_proj": (64, 32),
+    "self_attn.v_proj": (64, 32), "self_attn.o_proj": (64, 64),
+    "mlp.gate_proj": (64, 128), "mlp.up_proj": (64, 128),
+    "mlp.down_proj": (128, 64),
+}
+
+
+@pytest.fixture(scope="module")
+def qwen_artifacts(artifacts, tmp_path_factory):
+    """HF Qwen2 save_pretrained dir + a peft-keyed qwen delta; CLIP,
+    BEATs and the projector weights are shared with the LLaMA drill
+    (the reference swaps only the decoder between families)."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    root = tmp_path_factory.mktemp("qwen_artifacts")
+    torch.manual_seed(2024)
+    qwen = Qwen2ForCausalLM(
+        Qwen2Config(
+            vocab_size=400, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=1000000.0,
+            rms_norm_eps=1e-6, max_position_embeddings=2048,
+            attn_implementation="eager", tie_word_embeddings=False,
+        )
+    ).eval()
+    # Qwen2's qkv projections carry biases; make them non-trivial so the
+    # bias path is observable end to end
+    with torch.no_grad():
+        for layer in qwen.model.layers:
+            for pn in ("q_proj", "k_proj", "v_proj"):
+                getattr(layer.self_attn, pn).bias.normal_(std=0.05)
+    qwen.save_pretrained(root / "qwen")
+
+    torch.manual_seed(31415)
+    sd = {}
+    lora = QCFG.decoder.lora
+    for i in range(QCFG.decoder.num_layers):
+        for name, (din, dout) in QPROJS.items():
+            base = f"base_model.model.model.layers.{i}.{name}"
+            sd[f"{base}.lora_route.weight"] = torch.randn(lora.num_experts, din) * 0.1
+            sd[f"{base}.lora_A.weight"] = torch.randn(lora.rank, din) * 0.05
+            for e in range(lora.num_experts):
+                sd[f"{base}.lora_B{e}.weight"] = torch.randn(dout, lora.rank) * 0.05
+    # reuse the LLaMA drill's projector delta keys (same modules)
+    for k, v in artifacts["delta"].items():
+        if "_projector." in k:
+            sd[k] = v
+    V = QCFG.decoder.vocab_size
+    emb = torch.cat(
+        [qwen.get_input_embeddings().weight.data, torch.randn(V - 400, 64) * 0.02]
+    )
+    head = torch.cat(
+        [qwen.lm_head.weight.data, torch.randn(V - 400, 64) * 0.02]
+    )
+    sd["base_model.model.model.embed_tokens.weight"] = emb
+    sd["base_model.model.lm_head.weight"] = head
+    torch.save(sd, root / "finetune_weights_qwen.bin")
+
+    example = [{
+        "task": "arig",
+        "audio_path": "/root/reference/assets/example/s4/audio.wav",
+        "image_path": "/root/reference/assets/example/arig/1.jpg",
+    }]
+    with open(root / "examples.json", "w") as f:
+        json.dump(example, f)
+    return dict(root=root, base=artifacts, example=example[0])
+
+
+def _torch_qwen_tokens(art):
+    """Greedy decode of the torch Qwen2+MoE-LoRA pipeline from the saved
+    artifacts (mirrors _torch_reference_tokens with the qwen chat style
+    and GQA decoder)."""
+    import argparse
+
+    from transformers import CLIPVisionModel, Qwen2ForCausalLM
+    from tests.test_encoders import _import_reference_beats
+    from crab_tpu.cli.quick_start import build_tokenizer
+
+    root = art["root"]
+    base_root = art["base"]["root"]
+    qwen = Qwen2ForCausalLM.from_pretrained(root / "qwen").eval()
+    clip = CLIPVisionModel.from_pretrained(base_root / "clip").eval()
+    BEATs, BEATsConfig = _import_reference_beats()
+    ck = torch.load(base_root / "beats.pt", map_location="cpu",
+                    weights_only=False)
+    beats = BEATs(BEATsConfig(ck["cfg"])).eval()
+    beats.load_state_dict(ck["model"])
+    sd = torch.load(root / "finetune_weights_qwen.bin", map_location="cpu",
+                    weights_only=False)
+
+    lora = QCFG.decoder.lora
+    with torch.no_grad():
+        for i, layer in enumerate(qwen.model.layers):
+            for name in QPROJS:
+                holder = layer.self_attn if name.startswith("self_attn") else layer.mlp
+                short = name.split(".")[1]
+                mod = RefMoELoRA(getattr(holder, short), lora.rank,
+                                 lora.alpha, lora.num_experts)
+                base = f"base_model.model.model.layers.{i}.{name}"
+                mod.lora_route.weight.copy_(sd[f"{base}.lora_route.weight"])
+                mod.lora_A.weight.copy_(sd[f"{base}.lora_A.weight"])
+                for e in range(lora.num_experts):
+                    getattr(mod, f"lora_B{e}").weight.copy_(
+                        sd[f"{base}.lora_B{e}.weight"]
+                    )
+                setattr(holder, short, mod.eval())
+        qwen.resize_token_embeddings(QCFG.decoder.vocab_size)
+        qwen.get_input_embeddings().weight.copy_(
+            sd["base_model.model.model.embed_tokens.weight"]
+        )
+        qwen.lm_head.weight.copy_(sd["base_model.model.lm_head.weight"])
+
+    def proj_tokens(modality, p, feats):
+        pfx = f"base_model.model.model.{'vl' if modality == 'visual' else 'al'}_projector."
+        with torch.no_grad():
+            p["ln"].weight.copy_(sd[f"{pfx}{modality}_ln.weight"])
+            p["ln"].bias.copy_(sd[f"{pfx}{modality}_ln.bias"])
+            p["fc1"].weight.copy_(sd[f"{pfx}{modality}_proj.0.weight"])
+            p["fc1"].bias.copy_(sd[f"{pfx}{modality}_proj.0.bias"])
+            p["fc2"].weight.copy_(sd[f"{pfx}{modality}_proj.2.weight"])
+            p["fc2"].bias.copy_(sd[f"{pfx}{modality}_proj.2.bias"])
+            q = sd[f"{pfx}{modality}_query_tokens"]
+            x = p["ln"](feats)
+            out = p["qf"](
+                query_embeds=q.expand(x.shape[0], -1, -1),
+                encoder_hidden_states=x,
+            ).last_hidden_state
+            return p["fc2"](F.gelu(p["fc1"](out)))
+
+    from PIL import Image
+
+    task = TASKS["arig"]
+    media = task.media(art["example"])
+    img = media["image"]
+    if img.shape[1] != 56:
+        img = np.stack([
+            np.asarray(Image.fromarray(f).resize((56, 56)), np.uint8)
+            for f in img
+        ])
+    px = (img.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    px = np.moveaxis(px, -1, -3)
+    audio = media["audio"]
+    pcm = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.float32)
+    fb = np.array(beats_normalize(kaldi_fbank(jnp.asarray(pcm[None]))))[0]
+
+    with torch.no_grad():
+        hs = clip(torch.from_numpy(px), output_hidden_states=True).hidden_states
+        vis_tokens = proj_tokens(
+            "visual", art["base"]["vl"], hs[QCFG.vision.select_layers[-1]][:, 1:]
+        )
+        af, _ = beats.extract_features(
+            torch.from_numpy(fb), None, feature_only=True
+        )
+        aud_tokens = proj_tokens("audio", art["base"]["al"], af)
+
+    tok = build_tokenizer(argparse.Namespace(tokenizer=""), SPECIAL)
+    instruction = prompts.CHAT_TEMPLATES["qwen"](task.instruction(art["example"]))
+    ids = np.asarray(tok.encode(instruction), np.int64)
+    lens = {"<audio>": 8, "<image>": 8}
+    n_real = len(ids) + sum(lens.values()) - len(lens)
+    pad_to = ((n_real + 63) // 64) * 64
+    batch = build_splice_batch([SampleSpec(ids, lens)], SPECIAL, pad_to=pad_to)
+
+    bank = torch.cat([aud_tokens, vis_tokens], dim=1)[0]
+    with torch.no_grad():
+        text_ids = torch.from_numpy(np.asarray(batch.text_ids))
+        emb = qwen.get_input_embeddings()(text_ids.clamp(min=0))
+        fidx = torch.from_numpy(np.asarray(batch.feat_idx))
+        emb = torch.where((fidx >= 0).unsqueeze(-1), bank[fidx.clamp(min=0)], emb)
+        attn = torch.from_numpy(np.asarray(batch.attention_mask))
+        pos = torch.from_numpy(np.asarray(batch.position_ids))
+        toks = []
+        for _ in range(N_NEW):
+            logits = qwen(
+                inputs_embeds=emb, attention_mask=attn, position_ids=pos
+            ).logits[:, -1]
+            t = int(logits.argmax(-1))
+            toks.append(t)
+            if t == 2:
+                break
+            emb = torch.cat(
+                [emb, qwen.get_input_embeddings()(torch.tensor([[t]]))], dim=1
+            )
+            attn = torch.cat([attn, torch.ones(1, 1, dtype=attn.dtype)], dim=1)
+            pos = torch.cat([pos, pos[:, -1:] + 1], dim=1)
+    return toks
+
+
+def test_quick_start_qwen_reproduces_torch_from_artifacts(
+    qwen_artifacts, tmp_path
+):
+    """The Qwen drill: cli.quick_start --llm qwen with only checkpoint
+    flags emits the torch Qwen2 pipeline's exact greedy tokens (GQA
+    cache path, qkv biases, rope 1e6 — finetune_hyperlora.py:44-45)."""
+    from crab_tpu.cli import quick_start
+
+    ref_tokens = _torch_qwen_tokens(qwen_artifacts)
+    assert len(ref_tokens) >= 4
+
+    root = qwen_artifacts["root"]
+    base_root = qwen_artifacts["base"]["root"]
+    out = tmp_path / "out_qwen"
+    quick_start.main([
+        "--examples", str(root / "examples.json"),
+        "--tiny", "--llm", "qwen",
+        "--llama", str(root / "qwen"),
+        "--clip", str(base_root / "clip"),
+        "--beats", str(base_root / "beats.pt"),
+        "--delta", str(root / "finetune_weights_qwen.bin"),
+        "--out", str(out),
+        "--max-new-tokens", str(N_NEW),
+    ])
+    with open(out / "results.jsonl") as f:
+        rec = json.loads(f.readline())
+    ref_text = " ".join(
+        str(t) for t in (ref_tokens[: ref_tokens.index(2)] if 2 in ref_tokens
+                         else ref_tokens)
+    )
+    assert rec["task"] == "arig"
+    assert rec["predict"] == ref_text, (
+        f"CLI tokens {rec['predict']!r} != torch qwen reference {ref_text!r}"
     )

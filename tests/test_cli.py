@@ -8,9 +8,12 @@ import pytest
 
 ASSETS = "/root/reference/assets/example"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(ASSETS), reason="reference assets missing"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(ASSETS), reason="reference assets missing"
+    ),
+    pytest.mark.slow,  # e2e CLI runs: nightly lane
+]
 
 
 def test_quick_start_cli(tmp_path):

@@ -76,6 +76,7 @@ def _media(rng):
     }
 
 
+@pytest.mark.slow
 def test_continuous_matches_batch_engine(engine, monkeypatch):
     from crab_tpu.tasks import registry
 
@@ -101,6 +102,7 @@ def test_continuous_matches_batch_engine(engine, monkeypatch):
     assert not bool(np.asarray(cb.state.active).any())
 
 
+@pytest.mark.slow
 def test_continuous_sampling(monkeypatch):
     """Sampling knobs flow into the slot decode loop: high temperature with
     different seeds gives different token streams; the same seed
@@ -145,6 +147,7 @@ def test_continuous_max_new_and_slot_reuse(engine, monkeypatch):
         assert text == engine._decode(np.asarray(ref_ids))
 
 
+@pytest.mark.slow
 def test_continuous_avs_matches_batch_engine(engine, monkeypatch):
     """AVS through continuous batching: tokens AND masks match the batch
     engine (hidden-capture alignment + seg-tap plumbing)."""
@@ -233,6 +236,7 @@ def test_continuous_post_deposit_failure_retires_slot(engine, monkeypatch):
     assert not bool(np.asarray(cb.state.active).any())
 
 
+@pytest.mark.slow
 def test_chunked_prefill_admission_token_parity(engine, monkeypatch):
     """prefill_chunk admission (prompt fed in pieces through the slot
     cache, decode chunks interleaved) must not change any request's
@@ -297,6 +301,7 @@ def test_batched_admission_token_parity(engine, monkeypatch):
     assert not bool(np.asarray(cb.state.active).any())
 
 
+@pytest.mark.slow
 def test_continuous_kv_quant_matches_batch_kv_quant(engine, monkeypatch):
     """A kv_quant decoder config selects the int8 slot cache (SlotStateQ);
     the continuous engine's texts must match the batch engine running the
@@ -331,6 +336,7 @@ def test_continuous_kv_quant_matches_batch_kv_quant(engine, monkeypatch):
     assert spec.run(reqs) == expected
 
 
+@pytest.mark.slow
 def test_continuous_spec_adaptive_token_parity_and_fallback(
     engine, monkeypatch
 ):
@@ -371,6 +377,7 @@ def test_continuous_spec_adaptive_token_parity_and_fallback(
     assert fixed.plain_chunks == 0
 
 
+@pytest.mark.slow
 def test_continuous_sharded_matches_unsharded(engine, monkeypatch):
     """Multi-chip serving: the continuous engine over a TP=4/FSDP=2
     sharded InferenceEngine produces the same texts as the unsharded
@@ -404,6 +411,7 @@ def test_continuous_sharded_matches_unsharded(engine, monkeypatch):
     assert cb.run(reqs) == expected
 
 
+@pytest.mark.slow
 def test_continuous_mixed_ntp_avs_yuv_trace(engine, monkeypatch):
     """The serving-bench trace shape: NTP requests with codec-native
     video_yuv media interleaved with AVS (seg) requests, through ONE

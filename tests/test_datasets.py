@@ -109,6 +109,7 @@ def test_task_batches_prefetch_identical(annotations):
                 np.testing.assert_array_equal(a[k], b[k])
 
 
+@pytest.mark.slow
 def test_collator_feeds_train_step(annotations):
     """The collated batch drives the real jitted train step."""
     import jax

@@ -211,6 +211,7 @@ def test_beats_parity(gru_rel_pos):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_int8_encoders_close():
     """Quantized (W8A8) CLIP + BEATs track the fp32 trees on random
     weights: per-out-channel int8 weights + per-token int8 activations

@@ -125,6 +125,7 @@ def _our_projector_params(qf, extras):
     }
 
 
+@pytest.mark.slow
 def test_full_pipeline_prefill_parity(torch_models):
     clip, qf, llama, extras = torch_models
     rng = np.random.default_rng(0)

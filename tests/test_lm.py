@@ -122,6 +122,7 @@ def test_generate_matches_hf(hf_model, params):
         )
 
 
+@pytest.mark.slow
 def test_generate_eos_early_exit(hf_model, params):
     rng = np.random.default_rng(2)
     embeds = rng.standard_normal((1, 6, 64)).astype(np.float32) * 0.1
@@ -209,6 +210,7 @@ def test_capture_mask_hidden():
     np.testing.assert_array_equal(np.asarray(pred[0, :, 0]), [2.0, 3.0, 4.0])
 
 
+@pytest.mark.slow
 def test_int8_weight_only_quant(hf_model, params):
     """int8 decoder output stays close to fp32 (cosine > 0.999)."""
     from crab_tpu.lm.quant import quantize_decoder
@@ -264,6 +266,7 @@ def test_int8_kv_cache_generate(hf_model, params, kernel):
     assert cos > 0.99, cos
 
 
+@pytest.mark.slow
 def test_init_llama_int8_structure_and_generate():
     from crab_tpu.lm.quant import init_llama_int8
 
@@ -287,6 +290,7 @@ def test_init_llama_int8_structure_and_generate():
     assert np.isfinite(np.asarray(res.hidden)).all()
 
 
+@pytest.mark.slow
 def test_sampling_generate(params):
     rng = np.random.default_rng(9)
     embeds = rng.standard_normal((1, 6, 64)).astype(np.float32) * 0.1

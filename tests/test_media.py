@@ -28,6 +28,7 @@ def test_load_wav_reference_asset():
     assert np.abs(audio).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_resample_tone():
     sr_in, sr_out = 44100, 16000
     t = np.arange(sr_in) / sr_in

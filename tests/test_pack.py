@@ -62,6 +62,7 @@ def _inputs(cfg, B=2, T=12, key=7):
     return emb, mask, pos
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cfg", [CFG, CFG_MHA], ids=["gqa", "mha"])
 def test_packed_generate_token_identical(cfg):
     params = _params_with_lora(cfg)
@@ -78,6 +79,7 @@ def test_packed_generate_token_identical(cfg):
     )
 
 
+@pytest.mark.slow
 def test_packed_forward_and_routes_match():
     cfg = CFG
     params = _params_with_lora(cfg, key=3)
@@ -102,6 +104,7 @@ def test_packed_forward_and_routes_match():
         )
 
 
+@pytest.mark.slow
 def test_packed_int8_token_identical():
     cfg = CFG
     params = init_llama_int8(jax.random.PRNGKey(5), cfg, jnp.float32)

@@ -62,6 +62,7 @@ def test_int4_container_generate():
     np.testing.assert_array_equal(np.asarray(r.tokens), np.asarray(r2.tokens))
 
 
+@pytest.mark.slow
 def test_w8a8_prefill_close_and_decode_unchanged():
     """int8_activations: prefill logits stay close to W8A16 (per-token
     activation quant), decode (T==1) is bit-identical (a8 gated off)."""

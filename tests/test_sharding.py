@@ -34,6 +34,7 @@ def test_param_specs_structure():
     )
 
 
+@pytest.mark.slow
 def test_sharded_int8_generate_matches_single_device():
     """Quantized decoders must TP/FSDP-shard too: w_q/w_s carry their own
     PartitionSpecs (an earlier gap silently replicated int8 weights on

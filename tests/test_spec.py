@@ -52,6 +52,7 @@ PROMPTS = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chunk", [5, 16])
 @pytest.mark.parametrize("spec_k", [1, 3, 6])
 def test_spec_matches_plain_chunk(params, chunk, spec_k):

@@ -196,6 +196,7 @@ def test_engine_seg_image_taps(tmp_path):
         registry.TASKS.pop("tiny-segimg", None)
 
 
+@pytest.mark.slow
 def test_train_collator_uses_train_surface(tmp_path):
     """TrainCollator must pick the train media/instruction overrides and
     the train step must accept the seg_image batch."""
@@ -258,6 +259,7 @@ def test_train_collator_uses_train_surface(tmp_path):
     assert np.isfinite(float(metrics["mask_loss"]))
 
 
+@pytest.mark.slow
 def test_run_clip_matches_per_record(tmp_path):
     """The encode-once clip path must produce the same tokens/masks as
     running each record independently."""

@@ -86,6 +86,7 @@ def test_trainable_mask_selects_reference_modules():
     assert not mask3["decoder"]["layers"]["q"]["lora"]["A"]
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss_and_freezes():
     rng = np.random.default_rng(0)
     params = init_crab(jax.random.PRNGKey(1), CFG)
@@ -108,6 +109,7 @@ def test_train_step_reduces_loss_and_freezes():
     )
 
 
+@pytest.mark.slow
 def test_avs_train_step():
     rng = np.random.default_rng(1)
     params = init_crab(jax.random.PRNGKey(2), CFG)
@@ -120,6 +122,7 @@ def test_avs_train_step():
     assert float(metrics["loss"]) > float(metrics["lm_loss"]) - 1e-6
 
 
+@pytest.mark.slow
 def test_delta_export_roundtrip(tmp_path):
     params = init_crab(jax.random.PRNGKey(3), CFG)
     path = str(tmp_path / "delta.npz")
@@ -144,6 +147,7 @@ def test_delta_export_roundtrip(tmp_path):
     assert not any(k.startswith("vision/") for k in manifest["keys"])
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8cpu():
     """DP+TP train step over the virtual 8-device mesh."""
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
@@ -181,6 +185,7 @@ def test_trainable_mask_precision():
     assert not mask["vl_projector"]["qformer"]["emb_ln"]["scale"]
 
 
+@pytest.mark.slow
 def test_split_trainable_step_matches_full():
     """Trainable-only differentiation gives the same update as the full
     masked step (and allocates no frozen-size gradient buffers)."""
@@ -221,6 +226,7 @@ def test_split_trainable_step_matches_full():
     )
 
 
+@pytest.mark.slow
 def test_grad_accumulation_semantics():
     """accum=2: params untouched after the 1st micro-step, updated after
     the 2nd; the update equals an accum=1 step on the mean gradient."""
@@ -279,6 +285,7 @@ def test_lr_schedule_and_loss_weights():
     np.testing.assert_allclose(float(doubled), 2 * float(base), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_dropout_changes_loss():
     """dropout_seed: loss differs from eval-mode but is step-deterministic."""
     import dataclasses
@@ -314,6 +321,7 @@ def test_train_step_dropout_changes_loss():
     assert loss_of(0) == train_loss  # same seed+step -> same loss
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_roundtrip(tmp_path):
     """Preemption-resume (SURVEY §5): save full train state (params +
     optimizer incl. accumulation buffers + step), restore into a fresh

@@ -84,6 +84,7 @@ def test_vqgan_decode_parity(torch_vq):
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_mask_tokenizer_roundtrip(torch_vq):
     params = convert_vqgan(torch_vq.state_dict(), _tiny_cfg())
     tok = MaskTokenizer(params, token_shift=100)

@@ -1,3 +1,4 @@
+import pytest
 """Pallas W4A16 group-quantized matmul (ops/w4a16_matmul.py).
 
 Runs in interpret mode on the CPU test mesh; the numpy oracle reproduces
@@ -81,6 +82,7 @@ def test_row_tiling_and_single_group():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_w4_decoder_generate_close_to_dequant_model():
     """A W4-quantized packed decoder generates from logits close to the
     bf16 model carrying the dequantized weights."""

@@ -64,8 +64,15 @@ def timeit(name, fn, params, *args):
                     for x in a
                 ]
                 out = fn(p, *perturbed)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                return acc + leaf.reshape(-1)[0].astype(jnp.float32)
+                # full reduce over every leaf: consuming one element of
+                # the first CLIP tap let XLA dead-code layers 15-23 —
+                # the round-3/4 table's CLIP row (156 ms) measured only
+                # 14 of 23 layers (caught round 5, micro_encgap.py)
+                tot = sum(
+                    jnp.sum(l.astype(jnp.float32))
+                    for l in jax.tree_util.tree_leaves(out)
+                )
+                return acc + tot
             return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
         f = jax.jit(g)
         float(f(params, *args))
