@@ -398,13 +398,23 @@ def main():
     })
     print(f"# batch: {results[0]}", file=sys.stderr)
 
-    print(json.dumps({
+    record = {
         "metric": "serving_mixed_trace",
         "n_requests": N_REQ,
         "slots": SLOTS,
         "decode_budget_tokens": [int(min(budgets)), int(max(budgets))],
         "engines": results,
-    }))
+    }
+    print(json.dumps(record))
+    # Always persist the measurement: round 4's phantom-artifact failure
+    # (a doc citing a serving JSON that was only ever printed to a lost
+    # stdout) is impossible if the run itself writes a file. Rename/commit
+    # as SERVE_rNN.json when citing it (tests/test_docs_artifacts.py then
+    # guards the citation).
+    out_path = os.environ.get("CRAB_SERVE_JSON_OUT", "SERVE_last.json")
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"# wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
