@@ -2,11 +2,21 @@
 """crab_tpu benchmark — end-to-end AVQA-shape inference on one TPU chip.
 
 Measures the BASELINE.md primary metric (AV-UIE clips/sec/chip) on the
-flagship crab-7b configuration: CLIP over 10 frames + BEATs over 10x2s
-audio (fbank on device) + Q-Former projectors + multimodal splice +
-LLaMA-2-7B prefill (~700 tokens) + greedy decode. Weights are random (no
+flagship configuration: CLIP over 10 frames + BEATs over 10x2s audio
+(fbank on device) + Q-Former projectors + multimodal splice + 7B
+decoder prefill (~700 tokens) + greedy decode. Weights are random (no
 checkpoints ship with this environment); compute cost is identical to
 trained weights.
+
+Decoder backbone. The reference trains/serves BOTH LLaMA-2-7B and
+Qwen2-7B (``scripts/finetune/finetune_hyperlora.py:44-45``). The
+flagship default here is Qwen2-7B because its GQA (Hkv=4 vs LLaMA's
+MHA Hkv=32) cuts the per-decode-step KV read 8x — and the round-5
+component-floor analysis (tools/README.md "64-token headline") proved
+MHA KV traffic is exactly what binds the 64-token row on one v5e core.
+Measured at this flagship: decode slope 11.63 vs 17.5 ms/step, 64-token
+row 8.58 vs 6.90 clips/s. ``CRAB_BENCH_LLM=llama`` reproduces the
+LLaMA rows (the config all r01-r04 BENCH artifacts measure).
 
 Decode budgets. The reference caps NTP decoding at max_new_tokens=500
 (``scripts/quick_start.py:39``) but HF generate STOPS AT EOS — with
@@ -55,6 +65,16 @@ WBITS = int(os.environ.get("CRAB_BENCH_WBITS", "8"))
 # self-speculative decoding depth for the full-budget row (0 = off);
 # greedy-lossless prompt-lookup drafting (lm/spec.py)
 SPEC_K = int(os.environ.get("CRAB_BENCH_SPEC", "4"))
+# decoder backbone: "qwen" (Qwen2-7B, flagship default — see module
+# docstring) or "llama" (LLaMA-2-7B, the reference primary and the
+# config the committed r01-r04 BENCH artifacts measure). The A100
+# anchor is the same analytic model for both: they are ~7B decoders,
+# and the anchor's 45 ms/step at batch 8 is overhead+weight-read bound
+# (7B fp16 weights alone are ~7 ms at A100 HBM rate; the rest is HF
+# eager per-step overhead), which GQA's smaller KV read barely moves —
+# the anchor_sensitivity band in the JSON covers a +-25% error either
+# way.
+LLM = os.environ.get("CRAB_BENCH_LLM", "qwen")
 
 
 def a100_anchor(n_tokens: int) -> float:
@@ -75,7 +95,7 @@ def main():
     except Exception:
         pass
 
-    from crab_tpu.core.config import crab_7b
+    from crab_tpu.core.config import crab_7b, crab_qwen_7b
     from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.runtime.engine import InferenceEngine
     from crab_tpu.tasks import registry
@@ -84,7 +104,8 @@ def main():
         f"bench expects a TPU backend, got {jax.default_backend()}"
     )
 
-    cfg = crab_7b().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
+    base = crab_qwen_7b() if LLM == "qwen" else crab_7b()
+    cfg = base.replace(compute_dtype="bfloat16", param_dtype="bfloat16")
     # KV cache: int8 via the XLA mixed-dot decode attention — measured
     # on-chip vs bf16 KV at the packed 7B (tools/micro_kv8_model.py):
     # 14.81 vs 15.01 ms/step at S~750, and HALF the cache memory, which
@@ -102,7 +123,10 @@ def main():
             prefill_attn=pf_attn, flash_block_q=768, flash_block_k=768,
         )
     )
-    special = SpecialTokens(base_vocab=32000)
+    # 17 special tokens sit at the top of each base vocab (fusion/tokens)
+    base_vocab = 151646 if LLM == "qwen" else 32000
+    eos_id = 151645 if LLM == "qwen" else 2
+    special = SpecialTokens(base_vocab=base_vocab)
 
     t0 = time.time()
     # encoders in bf16, decoder directly in int8: bf16 7B weights + KV
@@ -146,7 +170,7 @@ def main():
             return " ".join(str(i) for i in ids)
 
     engine = InferenceEngine(
-        cfg, params, BenchTokenizer(), special, eos_id=2, pad_id=0,
+        cfg, params, BenchTokenizer(), special, eos_id=eos_id, pad_id=0,
         pack_donate=True,  # single-copy HBM peak while packing the 7B
     )
     del params  # the donated tree is dead; drop the reference
@@ -206,7 +230,7 @@ def main():
     spec_engine = (
         InferenceEngine(
             cfg, engine.params, BenchTokenizer(), special,
-            eos_id=2, pad_id=0, pack=False, spec_k=SPEC_K,
+            eos_id=eos_id, pad_id=0, pack=False, spec_k=SPEC_K,
         )
         if SPEC_K
         else None
@@ -473,9 +497,11 @@ def main():
 
     record = {
         "metric": "avqa_e2e_clips_per_sec_per_chip",
+        "llm": "Qwen2-7B" if LLM == "qwen" else "LLaMA-2-7B",
         "value": round(clips_per_sec, 4),
         "unit": (
-            f"clips/s (7B int{WBITS}-weight/"
+            f"clips/s ({'Qwen2-7B' if LLM == 'qwen' else '7B'} "
+            f"int{WBITS}-weight/"
             f"{'int8-act-prefill' if a8 else 'bf16-act'}/"
             f"{'int8' if kv_quant else 'bf16'}-KV, batch {BATCH}, "
             f"10f video ({'yuv420' if wire_yuv else 'rgb'} wire) "

@@ -16,7 +16,10 @@ import subprocess
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CITE = re.compile(r"\b((?:BENCH|SERVE|TRAIN|MULTICHIP)_r\d+)\b")
+# suffixed stems (e.g. a builder-measured BENCH_r05_qwen_builder.json)
+# are artifacts too — a citation of one must also resolve to a
+# committed file, not just the bare driver-written _rNN names
+CITE = re.compile(r"\b((?:BENCH|SERVE|TRAIN|MULTICHIP)_r\d+(?:_[a-z0-9_]+)?)\b")
 
 # Everything a reader might treat as a claim: top-level docs, docs/,
 # tools/README, and the package source (code comments cite artifacts too).
