@@ -99,3 +99,44 @@ def test_sharded_generate_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out.hidden), np.asarray(ref.hidden), rtol=2e-3, atol=2e-3
     )
+
+
+def test_sharded_generate_qwen_gqa_matches_single_device():
+    """GQA under TP: the flagship bench backbone is Qwen2-7B (GQA
+    Hkv=4), so the sharded decode path must stay token-identical when
+    the KV projection's flat output dim (Hkv*head_dim) is split across
+    MORE shards than there are KV heads — here Hkv=2 over model=4, so
+    each KV head's head_dim is itself split in half and GSPMD must
+    reshard around the (B,T,Hkv,dh) reshape + repeat-to-Hq broadcast.
+    Also covers the qkv attention biases (P(None,'model') specs) that
+    LLaMA never exercises."""
+    from crab_tpu.core.config import crab_qwen_tiny
+
+    assert jax.device_count() >= 8
+    qcfg = crab_qwen_tiny(vocab_size=417)
+    assert qcfg.decoder.num_kv_heads < 4  # the stress condition above
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    params = init_llama(jax.random.PRNGKey(5), qcfg.decoder)
+
+    rng = np.random.default_rng(2)
+    B, T = 2, 8
+    embeds = (
+        rng.standard_normal((B, T, qcfg.decoder.hidden_size)).astype(np.float32)
+        * 0.1
+    )
+    mask = np.ones((B, T), np.int32)
+    pos = np.cumsum(mask, -1) - 1
+
+    ref = generate(
+        params, qcfg.decoder, jnp.asarray(embeds), jnp.asarray(mask),
+        jnp.asarray(pos), max_new_tokens=6, eos_id=10**6,
+    )
+    sharded = shard_crab_params({"decoder": params}, mesh)["decoder"]
+    out = generate(
+        sharded, qcfg.decoder, jnp.asarray(embeds), jnp.asarray(mask),
+        jnp.asarray(pos), max_new_tokens=6, eos_id=10**6,
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    np.testing.assert_allclose(
+        np.asarray(out.hidden), np.asarray(ref.hidden), rtol=2e-3, atol=2e-3
+    )
