@@ -18,7 +18,9 @@ scheduling-sensitive: lock-step batches hold short requests hostage to
 the batch max).
 
 Env: CRAB_SERVE_N (default 24 requests), CRAB_SERVE_SLOTS (8),
-CRAB_SERVE_WBITS (8).
+CRAB_SERVE_WBITS (8), CRAB_SERVE_LLM ("qwen" = Qwen2-7B, the bench.py
+flagship backbone since round 5; "llama" = LLaMA-2-7B, the backbone
+the committed SERVE_r03/r05 artifacts measure).
 """
 
 import json
@@ -31,6 +33,8 @@ import numpy as np
 
 N_REQ = int(os.environ.get("CRAB_SERVE_N", "24"))
 SLOTS = int(os.environ.get("CRAB_SERVE_SLOTS", "8"))
+LLM = os.environ.get("CRAB_SERVE_LLM", "qwen")
+EOS_ID = 151645 if LLM == "qwen" else 2
 SEED = 7
 
 
@@ -133,7 +137,7 @@ def serving_model():
 
     import jax.numpy as jnp
 
-    from crab_tpu.core.config import crab_7b
+    from crab_tpu.core.config import crab_7b, crab_qwen_7b
     from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.lm.quant import init_llama_int8
     from crab_tpu.encoders.beats import init_beats
@@ -141,7 +145,8 @@ def serving_model():
     from crab_tpu.encoders.projectors import init_projector
     from crab_tpu.seg.seg_module import init_seg
 
-    cfg = crab_7b().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
+    base = crab_qwen_7b() if LLM == "qwen" else crab_7b()
+    cfg = base.replace(compute_dtype="bfloat16", param_dtype="bfloat16")
     cfg = cfg.replace(
         decoder=dataclasses.replace(
             cfg.decoder, int8_activations=True,
@@ -149,7 +154,7 @@ def serving_model():
             flash_block_q=768, flash_block_k=768,
         )
     )
-    special = SpecialTokens(base_vocab=32000)
+    special = SpecialTokens(base_vocab=151646 if LLM == "qwen" else 32000)
 
     @jax.jit
     def init_all(key):
@@ -215,7 +220,7 @@ def main():
 
     cfg, special, params = serving_model()
     engine = InferenceEngine(
-        cfg, params, BenchTokenizer(special), special, eos_id=2, pad_id=0,
+        cfg, params, BenchTokenizer(special), special, eos_id=EOS_ID, pad_id=0,
         pack_donate=True,
     )
     del params
@@ -269,7 +274,7 @@ def main():
         cfg.replace(
             decoder=dataclasses.replace(cfg.decoder, kv_quant=True)
         ),
-        engine.params, BenchTokenizer(special), special, eos_id=2, pad_id=0,
+        engine.params, BenchTokenizer(special), special, eos_id=EOS_ID, pad_id=0,
         pack=False,  # engine.params are already packed
     )
     cb = None
@@ -400,6 +405,7 @@ def main():
 
     record = {
         "metric": "serving_mixed_trace",
+        "llm": "Qwen2-7B" if LLM == "qwen" else "LLaMA-2-7B",
         "n_requests": N_REQ,
         "slots": SLOTS,
         "decode_budget_tokens": [int(min(budgets)), int(max(budgets))],
