@@ -9,7 +9,9 @@ projector trainables, trainable-only gradients, remat on, optax AdamW.
 Reports ms/step, tokens/s, and peak HBM when the runtime exposes it.
 
 Output: one JSON line. Env: CRAB_TRAIN_BATCH (default 4),
-CRAB_TRAIN_AVS=1 adds the seg head + mask loss to the step.
+CRAB_TRAIN_AVS=1 adds the seg head + mask loss to the step,
+CRAB_TRAIN_LLM ("qwen" = Qwen2-7B, the flagship backbone since round
+5; "llama" = LLaMA-2-7B, the backbone TRAIN_r03.json measures).
 """
 
 import json
@@ -21,6 +23,7 @@ import numpy as np
 
 BATCH = int(os.environ.get("CRAB_TRAIN_BATCH", "4"))
 AVS = os.environ.get("CRAB_TRAIN_AVS", "0") == "1"
+LLM = os.environ.get("CRAB_TRAIN_LLM", "qwen")
 
 
 def main():
@@ -36,7 +39,7 @@ def main():
     except Exception:
         pass
 
-    from crab_tpu.core.config import crab_7b, crab_tiny
+    from crab_tpu.core.config import crab_7b, crab_qwen_7b, crab_tiny
     from crab_tpu.fusion.splice import IGNORE_LABEL, SampleSpec, build_splice_batch
     from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.lm.quant import init_llama_int8
@@ -58,10 +61,13 @@ def main():
         cfg = crab_tiny()
         special = SpecialTokens(base_vocab=400)
     else:
-        cfg = crab_7b().replace(
+        base = crab_qwen_7b() if LLM == "qwen" else crab_7b()
+        cfg = base.replace(
             compute_dtype="bfloat16", param_dtype="bfloat16"
         )
-        special = SpecialTokens(base_vocab=32000)
+        special = SpecialTokens(
+            base_vocab=151646 if LLM == "qwen" else 32000
+        )
 
     t0 = time.time()
 
@@ -186,13 +192,15 @@ def main():
     except Exception:
         pass
 
+    backbone = "Qwen2-7B" if (LLM == "qwen" and not tiny) else "7B"
     record = {
         "metric": "train_step_ms_7b",
+        **({} if tiny else {"llm": "Qwen2-7B" if LLM == "qwen" else "LLaMA-2-7B"}),
         "value": round(step_ms, 1),
         "unit": (
-            f"ms/step (7B int8-base + bf16 LoRA/projector trainables "
-            f"[{n_train/1e6:.0f}M], batch {BATCH}, seq {T}, remat, "
-            f"stage=finetune{'+avs' if AVS else ''})"
+            f"ms/step ({backbone} int8-base + bf16 LoRA/projector "
+            f"trainables [{n_train/1e6:.0f}M], batch {BATCH}, seq {T}, "
+            f"remat, stage=finetune{'+avs' if AVS else ''})"
         ),
         "tokens_per_s": round(BATCH * T / best, 1),
         "loss_finite": bool(np.isfinite(loss)),
