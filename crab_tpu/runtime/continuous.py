@@ -137,7 +137,22 @@ class ContinuousEngine:
         # at 0.40 measured acceptance, fixed spec=4 is within 1% of
         # plain (SERVE_r05.json: 3.147 vs 3.171) — right at break-even,
         # as the model predicts
-        verify_cost = 1.27 * (1.0 + (2.3 + 1.4 * self.spec_k) / 17.3)
+        # The 1.27 in-engine penalty is KV-traffic-bound (slot KV
+        # scatters and window masks scale with the Hkv*S rows touched
+        # per chunk; the host harvest does not): on the GQA flagship
+        # (Hkv/Hq = 4/28) the same mixed trace measures fixed spec=4
+        # ABOVE plain (SERVE_r05_qwen_builder.json: 3.557 vs 3.422
+        # req/s at ~0.35 acceptance), implying an in-engine cost of
+        # ~1.48 ~= the batch micro model — the penalty tracks the KV
+        # traffic. Scale it by the GQA ratio so the threshold follows
+        # the backbone: MHA -> ~0.46 (validated r03 from the losing
+        # side, r05 at par), Qwen GQA -> ~0.34 (validated by the r05
+        # qwen rows, where the old MHA-calibrated 0.46 held the gate
+        # on plain and cost 2.5% vs fixed spec).
+        gqa = engine.cfg.decoder.num_kv_heads / engine.cfg.decoder.num_heads
+        verify_cost = (1.0 + 0.27 * gqa) * (
+            1.0 + (2.3 + 1.4 * self.spec_k) / 17.3
+        )
         self._spec_threshold = 1.0 - 1.0 / verify_cost
         self._spec_ema = 1.0
         self._chunk_i = 0

@@ -472,3 +472,35 @@ def test_continuous_mixed_ntp_avs_yuv_trace(engine, monkeypatch):
             np.testing.assert_allclose(
                 o["masks"], ref.masks[0], rtol=2e-5, atol=2e-5
             )
+
+
+def test_spec_threshold_tracks_gqa_ratio(engine):
+    """The adaptive gate's break-even threshold is backbone-aware: the
+    in-engine verify penalty scales with KV traffic (slot scatters +
+    window masks), so a GQA decoder must get a LOWER acceptance
+    threshold than MHA at the same k — measured on chip both ways
+    (SERVE_r05.json: MHA spec at par at 0.40; SERVE_r05_qwen_builder
+    .json: GQA spec winning at ~0.35, where the MHA threshold would
+    have held the gate on plain)."""
+    from crab_tpu.core.config import crab_qwen_tiny
+
+    qcfg = crab_qwen_tiny(vocab_size=400 + 17)
+    qparams = init_crab(jax.random.PRNGKey(0), qcfg)
+    qengine = InferenceEngine(
+        qcfg, qparams, StubTokenizer(SPECIAL), SPECIAL, eos_id=399,
+        seq_bucket=32,
+    )
+    mha = ContinuousEngine(
+        engine, slots=2, max_len=64, chunk=3, spec_k=4, spec_adaptive=True
+    )
+    gqa = ContinuousEngine(
+        qengine, slots=2, max_len=64, chunk=3, spec_k=4, spec_adaptive=True
+    )
+    assert CFG.decoder.num_kv_heads == CFG.decoder.num_heads  # MHA tiny
+    assert qcfg.decoder.num_kv_heads < qcfg.decoder.num_heads  # GQA tiny
+    # MHA keeps the r03/r05-validated ~0.46 at k=4
+    assert 0.44 < mha._spec_threshold < 0.48
+    assert gqa._spec_threshold < mha._spec_threshold
+    # the GQA floor is the batch micro model (in-engine penalty -> 1)
+    micro = 1.0 + (2.3 + 1.4 * 4) / 17.3
+    assert gqa._spec_threshold >= 1.0 - 1.0 / micro - 1e-9
