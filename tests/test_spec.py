@@ -324,3 +324,48 @@ def test_spec_through_continuous_engine(monkeypatch):
     )
     with pytest.raises(ValueError):
         ContinuousEngine(sampling_eng, slots=2, spec_k=2)
+
+
+def test_spec_generate_matches_generate_gqa():
+    """Speculation over the GQA flagship decoder shape (Qwen2: Hkv <
+    Hq, qkv attention biases): the bench/serve flagship rows run
+    spec_generate over exactly this cache layout (the KV cache carries
+    Hkv heads; the verify window's attention broadcasts them to Hq), so
+    lossless-greedy parity must hold for it on CPU too, not just MHA."""
+    from crab_tpu.core.config import crab_qwen_tiny
+    from crab_tpu.lm.generate import generate
+    from crab_tpu.lm.spec import spec_generate
+
+    qcfg = crab_qwen_tiny(vocab_size=97).decoder
+    assert qcfg.num_kv_heads < qcfg.num_heads and qcfg.attention_bias
+    qparams = init_llama(jax.random.PRNGKey(2), qcfg)
+
+    rows = [PROMPTS[0], PROMPTS[1], PROMPTS[2]]
+    T = max(len(r) for r in rows)
+    B = len(rows)
+    ids = np.zeros((B, T), np.int32)
+    mask = np.zeros((B, T), np.int32)
+    for i, r in enumerate(rows):
+        ids[i, T - len(r):] = r
+        mask[i, T - len(r):] = 1
+    pos = np.maximum(np.cumsum(mask, -1) - 1, 0).astype(np.int32)
+    emb = jnp.take(qparams["embed"], jnp.asarray(ids), axis=0).astype(
+        jnp.float32
+    ) * mask[..., None]
+    hist = np.where(mask > 0, ids, -1).astype(np.int32)
+
+    ref = generate(
+        qparams, qcfg, emb, jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=14, eos_id=EOS,
+    )
+    got = spec_generate(
+        qparams, qcfg, emb, jnp.asarray(mask), jnp.asarray(pos),
+        max_new_tokens=14, eos_id=EOS, spec_k=3,
+        prompt_hist=jnp.asarray(hist),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.tokens), np.asarray(ref.tokens)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.num_generated), np.asarray(ref.num_generated)
+    )
