@@ -95,7 +95,7 @@ def main():
     except Exception:
         pass
 
-    from crab_tpu.core.config import crab_7b, crab_qwen_7b
+    from crab_tpu.core.config import backbone_preset
     from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.runtime.engine import InferenceEngine
     from crab_tpu.tasks import registry
@@ -104,8 +104,8 @@ def main():
         f"bench expects a TPU backend, got {jax.default_backend()}"
     )
 
-    base = crab_qwen_7b() if LLM == "qwen" else crab_7b()
-    cfg = base.replace(compute_dtype="bfloat16", param_dtype="bfloat16")
+    base_cfg, base_vocab, eos_id = backbone_preset(LLM)
+    cfg = base_cfg().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
     # KV cache: int8 via the XLA mixed-dot decode attention — measured
     # on-chip vs bf16 KV at the packed 7B (tools/micro_kv8_model.py):
     # 14.81 vs 15.01 ms/step at S~750, and HALF the cache memory, which
@@ -124,8 +124,6 @@ def main():
         )
     )
     # 17 special tokens sit at the top of each base vocab (fusion/tokens)
-    base_vocab = 151646 if LLM == "qwen" else 32000
-    eos_id = 151645 if LLM == "qwen" else 2
     special = SpecialTokens(base_vocab=base_vocab)
 
     t0 = time.time()

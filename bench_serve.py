@@ -34,7 +34,6 @@ import numpy as np
 N_REQ = int(os.environ.get("CRAB_SERVE_N", "24"))
 SLOTS = int(os.environ.get("CRAB_SERVE_SLOTS", "8"))
 LLM = os.environ.get("CRAB_SERVE_LLM", "qwen")
-EOS_ID = 151645 if LLM == "qwen" else 2
 SEED = 7
 
 
@@ -120,8 +119,8 @@ class BenchTokenizer:
 
 
 def serving_model():
-    """(cfg, special, params) for the 7B serving benches: bf16 encoders,
-    int8 decoder, W8A8 prefill, persistent compile cache."""
+    """(cfg, special, params, eos_id) for the 7B serving benches: bf16
+    encoders, int8 decoder, W8A8 prefill, persistent compile cache."""
     import jax
 
     cache_dir = os.path.join(
@@ -137,7 +136,7 @@ def serving_model():
 
     import jax.numpy as jnp
 
-    from crab_tpu.core.config import crab_7b, crab_qwen_7b
+    from crab_tpu.core.config import backbone_preset
     from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.lm.quant import init_llama_int8
     from crab_tpu.encoders.beats import init_beats
@@ -145,8 +144,8 @@ def serving_model():
     from crab_tpu.encoders.projectors import init_projector
     from crab_tpu.seg.seg_module import init_seg
 
-    base = crab_qwen_7b() if LLM == "qwen" else crab_7b()
-    cfg = base.replace(compute_dtype="bfloat16", param_dtype="bfloat16")
+    base_cfg, base_vocab, eos_id = backbone_preset(LLM)
+    cfg = base_cfg().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
     cfg = cfg.replace(
         decoder=dataclasses.replace(
             cfg.decoder, int8_activations=True,
@@ -154,7 +153,7 @@ def serving_model():
             flash_block_q=768, flash_block_k=768,
         )
     )
-    special = SpecialTokens(base_vocab=151646 if LLM == "qwen" else 32000)
+    special = SpecialTokens(base_vocab=base_vocab)
 
     @jax.jit
     def init_all(key):
@@ -179,7 +178,7 @@ def serving_model():
     params = init_all(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     print(f"# init: {time.time()-t0:.1f}s", file=sys.stderr)
-    return cfg, special, params
+    return cfg, special, params, eos_id
 
 
 def register_bench_task(max_new: int = 100):
@@ -218,9 +217,9 @@ def main():
 
     import dataclasses
 
-    cfg, special, params = serving_model()
+    cfg, special, params, eos_id = serving_model()
     engine = InferenceEngine(
-        cfg, params, BenchTokenizer(special), special, eos_id=EOS_ID, pad_id=0,
+        cfg, params, BenchTokenizer(special), special, eos_id=eos_id, pad_id=0,
         pack_donate=True,
     )
     del params
@@ -274,7 +273,7 @@ def main():
         cfg.replace(
             decoder=dataclasses.replace(cfg.decoder, kv_quant=True)
         ),
-        engine.params, BenchTokenizer(special), special, eos_id=EOS_ID, pad_id=0,
+        engine.params, BenchTokenizer(special), special, eos_id=eos_id, pad_id=0,
         pack=False,  # engine.params are already packed
     )
     cb = None

@@ -39,7 +39,7 @@ def main():
     except Exception:
         pass
 
-    from crab_tpu.core.config import crab_7b, crab_qwen_7b, crab_tiny
+    from crab_tpu.core.config import backbone_preset, crab_tiny
     from crab_tpu.fusion.splice import IGNORE_LABEL, SampleSpec, build_splice_batch
     from crab_tpu.fusion.tokens import SpecialTokens
     from crab_tpu.lm.quant import init_llama_int8
@@ -61,13 +61,11 @@ def main():
         cfg = crab_tiny()
         special = SpecialTokens(base_vocab=400)
     else:
-        base = crab_qwen_7b() if LLM == "qwen" else crab_7b()
-        cfg = base.replace(
+        base_cfg, base_vocab, _eos = backbone_preset(LLM)
+        cfg = base_cfg().replace(
             compute_dtype="bfloat16", param_dtype="bfloat16"
         )
-        special = SpecialTokens(
-            base_vocab=151646 if LLM == "qwen" else 32000
-        )
+        special = SpecialTokens(base_vocab=base_vocab)
 
     t0 = time.time()
 

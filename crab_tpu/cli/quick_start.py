@@ -30,8 +30,7 @@ def select_model(args):
     the reference's ``--llm_name llama|qwen`` switch
     (``finetune_hyperlora.py:44-45``)."""
     from crab_tpu.core.config import (
-        crab_7b,
-        crab_qwen_7b,
+        backbone_preset,
         crab_qwen_tiny,
         crab_tiny,
     )
@@ -41,10 +40,10 @@ def select_model(args):
     if getattr(args, "tiny", False):
         tiny = crab_qwen_tiny() if llm == "qwen" else crab_tiny()
         return tiny, SpecialTokens(base_vocab=400), llm, 2
-    if llm == "qwen":
-        # Qwen2: base vocab 151646, <|im_end|> terminates generation
-        return crab_qwen_7b(), SpecialTokens(base_vocab=151646), "qwen", 151645
-    return crab_7b(), SpecialTokens(base_vocab=32000), "llama", 2
+    # checkpoint-format constants live in one place (core/config.py):
+    # LLaMA-2 </s>=2 over 32000; Qwen2 <|im_end|>=151645 over 151646
+    base_cfg, base_vocab, eos_id = backbone_preset(llm)
+    return base_cfg(), SpecialTokens(base_vocab=base_vocab), llm, eos_id
 
 
 def build_params(args, cfg):

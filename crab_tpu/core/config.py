@@ -352,3 +352,28 @@ PRESETS = {
     "crab-tiny": crab_tiny,
     "crab-qwen-tiny": crab_qwen_tiny,
 }
+
+
+# 7B backbone name -> (config factory, tokenizer base vocab, eos id).
+# The single source of truth for the checkpoint-format constants shared
+# by the bench scripts and the CLIs (cli/quick_start.select_model):
+# LLaMA-2 ends on </s>=2 over a 32000 base vocab; Qwen2 ends on
+# <|im_end|>=151645 over 151646 (the 17 Crab special tokens sit above
+# either base — fusion/tokens.py).
+BACKBONES = {
+    "llama": (crab_7b, 32000, 2),
+    "qwen": (crab_qwen_7b, 151646, 151645),
+}
+
+
+def backbone_preset(llm: str):
+    """(config_factory, base_vocab, eos_id) for a 7B backbone name.
+
+    Raises on unknown names so a typo'd CRAB_*_LLM env var fails loudly
+    instead of silently measuring the wrong backbone."""
+    try:
+        return BACKBONES[llm]
+    except KeyError:
+        raise ValueError(
+            f"unknown backbone {llm!r}: expected one of {sorted(BACKBONES)}"
+        ) from None

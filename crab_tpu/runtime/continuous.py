@@ -149,6 +149,12 @@ class ContinuousEngine:
         # side, r05 at par), Qwen GQA -> ~0.34 (validated by the r05
         # qwen rows, where the old MHA-calibrated 0.46 held the gate
         # on plain and cost 2.5% vs fixed spec).
+        # Known approximation: kv_quant halves the same KV bytes but is
+        # NOT modeled here (both calibration endpoints were measured on
+        # bf16 slot caches; no kv8 adaptive row has been measured). The
+        # error is in the SAFE direction — the threshold reads slightly
+        # high for int8 slots, so the gate holds spec off marginally
+        # more than optimal near break-even, never below plain.
         gqa = engine.cfg.decoder.num_kv_heads / engine.cfg.decoder.num_heads
         verify_cost = (1.0 + 0.27 * gqa) * (
             1.0 + (2.3 + 1.4 * self.spec_k) / 17.3

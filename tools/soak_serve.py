@@ -40,9 +40,9 @@ def main():
     from crab_tpu.runtime.engine import InferenceEngine
     from crab_tpu.runtime.continuous import ContinuousEngine
 
-    cfg, special, params = bs.serving_model()
+    cfg, special, params, eos_id = bs.serving_model()
     engine = InferenceEngine(
-        cfg, params, bs.BenchTokenizer(special), special, eos_id=2,
+        cfg, params, bs.BenchTokenizer(special), special, eos_id=eos_id,
         pad_id=0, pack_donate=True,
     )
     del params
