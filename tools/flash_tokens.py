@@ -12,7 +12,8 @@ steps run the same single-token path in both configs; after a flip the
 sequences legitimately diverge), so the comparison reports the position
 of the first mismatch per row, plus whether row 0's first token agrees.
 
-Run: python tools/flash_tokens.py   (env FT_B batch, FT_NEW tokens)
+Run: python tools/flash_tokens.py   (env FT_B batch, FT_NEW tokens,
+     FT_LLM backbone — default qwen, the flagship)
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -30,8 +31,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 B = int(_os.environ.get("FT_B", "16"))
 MAX_NEW = int(_os.environ.get("FT_NEW", "64"))
+LLM = _os.environ.get("FT_LLM", "qwen")
 
-from crab_tpu.core.config import crab_7b
+from crab_tpu.core.config import backbone_preset
 from crab_tpu.fusion.tokens import SpecialTokens
 from crab_tpu.lm.quant import init_llama_int8
 from crab_tpu.encoders.beats import init_beats
@@ -41,8 +43,9 @@ from crab_tpu.runtime.engine import InferenceEngine
 from crab_tpu.tasks import registry
 from bench_serve import BenchTokenizer
 
-special = SpecialTokens(base_vocab=32000)
-base = crab_7b().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
+_cfg_fn, _vocab, EOS_ID = backbone_preset(LLM)
+special = SpecialTokens(base_vocab=_vocab)
+base = _cfg_fn().replace(compute_dtype="bfloat16", param_dtype="bfloat16")
 
 
 def cfg_with(pf):
@@ -97,7 +100,7 @@ samples = [
 tokens = {}
 engine = InferenceEngine(
     cfg_with("flash"), params, BenchTokenizer(special), special,
-    eos_id=2, pad_id=0, pack_donate=True,
+    eos_id=EOS_ID, pad_id=0, pack_donate=True,
 )
 del params
 for pf in ("flash", "xla"):
@@ -118,6 +121,7 @@ for i in range(B):
 n_div = sum(1 for d in first_div if d >= 0)
 print(json.dumps({
     "metric": "flash_prefill_token_parity",
+    "llm": "Qwen2-7B" if LLM == "qwen" else "LLaMA-2-7B",
     "batch": B,
     "max_new": MAX_NEW,
     "rows_diverged": n_div,
